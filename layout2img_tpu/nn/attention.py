@@ -1,0 +1,137 @@
+"""Context attention over per-object style vectors.
+
+``BoxMultiHeadedAttention`` is the paper's context module
+(reference ``model/resnet_generator_app_v2.py:123-214``): scaled-dot
+self-attention over <=31 object tokens with a geometric bias,
+``softmax(log(clamp(relu(W_G g), 1e-6)) + QK^T/sqrt(d))``, where g is the
+pairwise sinusoidal box embedding. The ``use_geometry=False`` flag is the
+"nogeo" ablation (reference ``model/resnet_generator_vg.py:115`` sets
+``w_mn = w_a``).
+
+TPU notes: the token count is tiny, so the whole block is plain batched
+einsums that XLA fuses; there is nothing to shard — attention stays
+replicated per device and vmaps over batch. Unlike the reference (which is
+correct only for h=1, its mask/geometry broadcasting breaks for h>1), the
+head dimension here is handled properly.
+
+Padding: class label 0 is the ``__image__`` pad token; key positions with
+label==0 get -1e9 logits, matching ``masked_fill`` in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from layout2img_tpu.ops.relation import box_relational_embedding
+
+
+class BoxMultiHeadedAttention(fnn.Module):
+    heads: int
+    d_model: int
+    trignometric: bool = True
+    use_geometry: bool = True
+    dropout_rate: float = 0.0
+
+    @fnn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (b, o, d_model)
+        key: jax.Array,
+        value: jax.Array,
+        boxes: jax.Array,  # (b, o, 4)
+        labels: jax.Array | None = None,  # (b, o) int; 0 == pad
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, o, _ = query.shape
+        h = self.heads
+        d_k = self.d_model // h
+        residual = query
+
+        q = fnn.Dense(self.d_model, kernel_init=fnn.initializers.orthogonal(), name="q_proj")(query)
+        k = fnn.Dense(self.d_model, kernel_init=fnn.initializers.orthogonal(), name="k_proj")(key)
+        v = fnn.Dense(self.d_model, kernel_init=fnn.initializers.orthogonal(), name="v_proj")(value)
+        q = q.reshape(b, o, h, d_k).transpose(0, 2, 1, 3)
+        k = k.reshape(b, o, h, d_k).transpose(0, 2, 1, 3)
+        v = v.reshape(b, o, h, d_k).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d_k)
+        if labels is not None:
+            key_mask = (labels != 0)[:, None, None, :]  # (b, 1, 1, o)
+            logits = jnp.where(key_mask, logits, -1e9)
+
+        if self.use_geometry:
+            dim_g = 64 if self.trignometric else 4
+            geo = box_relational_embedding(boxes, dim_g=dim_g, trignometric=self.trignometric)
+            # per-head scalar geometric weight; one Dense(h) == h x Dense(1)
+            w_g = fnn.Dense(h, kernel_init=fnn.initializers.orthogonal(), name="geo_proj")(geo)
+            w_g = fnn.relu(w_g).transpose(0, 3, 1, 2)  # (b, h, o, o)
+            logits = jnp.log(jnp.maximum(w_g, 1e-6)) + logits
+
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, o, self.d_model)
+
+        out = fnn.LayerNorm(epsilon=1e-5, name="ln0")(out + residual)
+        inner = out
+        out = fnn.Dense(self.d_model, kernel_init=fnn.initializers.orthogonal(), name="out_proj")(out)
+        out = fnn.Dropout(self.dropout_rate, name="out_drop")(out, deterministic=deterministic)
+        return fnn.LayerNorm(epsilon=1e-5, name="ln1")(out + inner)
+
+
+class MultiHeadAttention(fnn.Module):
+    """Plain multi-head attention with the reference's residual/LayerNorm
+    topology (``model_layout2img/transformer.py:42-93`` and the identical
+    stack in ``model_layout2img/generator_app.py``). Requires
+    heads * d_v == d_model for the first residual."""
+
+    heads: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dropout_rate: float = 0.1
+
+    @fnn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        labels: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, o, _ = query.shape
+        h = self.heads
+
+        def proj_init(d_in, d_out):
+            return fnn.initializers.normal(stddev=np.sqrt(2.0 / (d_in + d_out)))
+
+        q = fnn.Dense(h * self.d_k, use_bias=False, kernel_init=proj_init(self.d_model, self.d_k), name="w_qs")(query)
+        k = fnn.Dense(h * self.d_k, use_bias=False, kernel_init=proj_init(self.d_model, self.d_k), name="w_ks")(key)
+        v = fnn.Dense(h * self.d_v, use_bias=False, kernel_init=proj_init(self.d_model, self.d_v), name="w_vs")(value)
+        q = q.reshape(b, -1, h, self.d_k).transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, h, self.d_k).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, h, self.d_v).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if labels is not None:
+            key_mask = (labels != 0)[:, None, None, :]
+            logits = jnp.where(key_mask, logits, -1e9)
+        logits = logits / np.power(self.d_k, 0.5)
+
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, o, h * self.d_v)
+
+        residual = query
+        out = fnn.LayerNorm(epsilon=1e-5, name="ln0")(out + residual)
+        inner = out
+        out = fnn.Dense(self.d_model, kernel_init=fnn.initializers.xavier_normal(), name="fc")(out)
+        out = fnn.Dropout(self.dropout_rate, name="out_drop")(out, deterministic=deterministic)
+        return fnn.LayerNorm(epsilon=1e-5, name="ln1")(out + inner)

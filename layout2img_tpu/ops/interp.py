@@ -116,6 +116,37 @@ def resize_nearest_nhwc(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return x[..., iy, :, :][..., ix, :]
 
 
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix_np(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) averaging matrix matching torch AdaptiveAvgPool1d bins."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -((-(i + 1) * in_size) // out_size)  # ceil
+        m[i, start:end] = 1.0 / (end - start)
+    return m
+
+
+def adaptive_avg_pool2d(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """torch AdaptiveAvgPool2d on trailing-2 dims `(..., H, W)` as constant matmuls."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = out_hw
+    py = jnp.asarray(_adaptive_pool_matrix_np(h_out, h_in), dtype=x.dtype)
+    px = jnp.asarray(_adaptive_pool_matrix_np(w_out, w_in), dtype=x.dtype)
+    x = jnp.einsum("yh,...hw->...yw", py, x)
+    return jnp.einsum("xw,...hw->...hx", px, x)
+
+
+def adaptive_avg_pool2d_nhwc(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """torch AdaptiveAvgPool2d for NHWC maps `(..., H, W, C)`."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    py = jnp.asarray(_adaptive_pool_matrix_np(h_out, h_in), dtype=x.dtype)
+    px = jnp.asarray(_adaptive_pool_matrix_np(w_out, w_in), dtype=x.dtype)
+    x = jnp.einsum("yh,...hwc->...ywc", py, x)
+    return jnp.einsum("xw,...hwc->...hxc", px, x)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic (box-dependent) sampling matrices
 # ---------------------------------------------------------------------------
