@@ -1,0 +1,52 @@
+"""Synthetic layout batches with the exact padding conventions of the real
+pipelines (COCO-Stuff: class 0 == __image__ pad, pad box (-0.6, -0.6, 0.5,
+0.5) — reference ``data/cocostuff_loader.py:164,301-303``). Used by tests,
+benchmarks, and dry runs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+PAD_BOX = (-0.6, -0.6, 0.5, 0.5)
+
+
+def synthetic_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    image_size: int = 128,
+    num_objects: int = 8,
+    num_classes: int = 184,
+    min_objects: int = 3,
+) -> dict:
+    images = rng.uniform(-1, 1, (batch_size, image_size, image_size, 3)).astype(np.float32)
+    labels = np.zeros((batch_size, num_objects), np.int32)
+    boxes = np.tile(np.asarray(PAD_BOX, np.float32), (batch_size, num_objects, 1))
+    for i in range(batch_size):
+        n = int(rng.integers(min_objects, num_objects + 1))
+        labels[i, :n] = rng.integers(1, num_classes, n)
+        xy = rng.uniform(0, 0.6, (n, 2))
+        wh = rng.uniform(0.1, 0.4, (n, 2))
+        boxes[i, :n] = np.concatenate([xy, wh], -1).astype(np.float32)
+    return {"images": images, "labels": labels, "boxes": boxes}
+
+
+class SyntheticLayoutDataset:
+    """Iterable of synthetic batches (deterministic per seed)."""
+
+    def __init__(self, batch_size: int, image_size: int = 128, num_objects: int = 8,
+                 num_classes: int = 184, seed: int = 0, steps: int | None = None):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_objects = num_objects
+        self.num_classes = num_classes
+        self.seed = seed
+        self.steps = steps
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        i = 0
+        while self.steps is None or i < self.steps:
+            yield synthetic_batch(
+                rng, self.batch_size, self.image_size, self.num_objects, self.num_classes
+            )
+            i += 1

@@ -1,0 +1,60 @@
+"""Data-parallel training over a device mesh — the TPU-native replacement for
+the reference's single-process ``nn.DataParallel`` + threaded SyncBN
+(``train_ours_d.py:71-73``, ``model/sync_batchnorm/``).
+
+Design (GSPMD): one jitted train step with the batch sharded over a 1-D
+``data`` mesh axis and all params/optimizer state replicated. Gradient
+means, BN batch statistics, and every other batch reduction become
+cross-replica automatically — XLA inserts psum/all-reduce collectives over
+ICI. At ~50M params there is nothing to gain from parameter sharding; the
+mesh helper still accepts extra axes so larger configs can pjit over
+(data, model) later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None, axis_name: str = "data") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Place a host batch with the leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def jit_train_step(
+    train_step: Callable, mesh: Mesh, axis_name: str = "data", donate_state: bool = True
+) -> Callable:
+    """jit a train_step(state, batch, rng) with data-parallel shardings.
+
+    State/rng replicated, batch sharded on its leading axis. The returned
+    function runs SPMD over the mesh; outputs keep the same shardings.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,113 @@
+"""GAN training state: one pytree carrying both networks.
+
+Replaces the reference's scattered mutable state (module buffers, spectral
+hooks, two torch optimizers — ``train_ours_d.py:76-90``) with a single
+functional state consumed by one jitted step. Adam(0, 0.999) matches the
+reference; ``mapping_lr_mult`` mirrors the 0.1x learning rate applied to
+'mapping' params (``train_ours_d.py:79-84`` — the mapping stack is empty in
+the shipped v2 models, so this is usually inactive).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    z_dim: int = 128
+    g_lr: float = 1e-4
+    d_lr: float = 1e-4
+    beta1: float = 0.0
+    beta2: float = 0.999
+    lamb_obj: float = 1.0
+    lamb_app: float = 1.0
+    lamb_img: float = 0.1
+    use_pixel_loss: bool = True
+    use_vgg_loss: bool = True
+    mapping_lr_mult: float = 0.1
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_state: Any  # batch_stats + spectral collections
+    d_params: Any
+    d_state: Any  # spectral collection
+    g_opt_state: Any
+    d_opt_state: Any
+    g_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    d_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def _make_optimizer(lr: float, cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
+    base = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    has_mapping = any("mapping" in jax.tree_util.keystr(kp) for kp, _ in flat)
+    if not has_mapping or cfg.mapping_lr_mult == 1.0:
+        return base
+
+    def label_fn(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, _: "mapping" if "mapping" in jax.tree_util.keystr(kp) else "main", p
+        )
+
+    return optax.multi_transform(
+        {
+            "main": base,
+            "mapping": optax.adam(lr * cfg.mapping_lr_mult, b1=cfg.beta1, b2=cfg.beta2),
+        },
+        label_fn,
+    )
+
+
+def _split_collections(variables: FrozenDict | dict) -> tuple[Any, Any]:
+    variables = dict(variables)
+    params = variables.pop("params")
+    return params, variables
+
+
+def create_train_state(
+    rng: jax.Array,
+    generator,
+    discriminator,
+    example_batch: dict,
+    config: TrainConfig,
+) -> GANTrainState:
+    """Initialize both networks and optimizers from an example batch."""
+    import jax.numpy as jnp
+
+    b, o = example_batch["labels"].shape
+    rng_g, rng_d, rng_z = jax.random.split(rng, 3)
+    z = jax.random.normal(rng_z, (b, o, config.z_dim))
+    z_im = jax.random.normal(rng_z, (b, config.z_dim))
+
+    g_vars = generator.init(
+        rng_g, z, example_batch["boxes"], example_batch["labels"], z_im
+    )
+    d_vars = discriminator.init(
+        rng_d, example_batch["images"], example_batch["boxes"], example_batch["labels"]
+    )
+    g_params, g_state = _split_collections(g_vars)
+    d_params, d_state = _split_collections(d_vars)
+
+    g_tx = _make_optimizer(config.g_lr, config, g_params)
+    d_tx = _make_optimizer(config.d_lr, config, d_params)
+
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        g_state=g_state,
+        d_params=d_params,
+        d_state=d_state,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        g_tx=g_tx,
+        d_tx=d_tx,
+    )

@@ -1,0 +1,170 @@
+"""One jitted GAN train step (D update + G update).
+
+Mirrors the reference loop (``train_ours_d.py:119-150``) functionally:
+
+- D hinge on real/fake for image, object, and (optionally) appearance heads;
+- G adversarial + L1 pixel + VGG perceptual;
+- Adam(0, 0.999) for both nets; per-object terms masked over valid objects
+  (reference filters label != 0 dynamically).
+
+TPU-native structure: the generator forward runs ONCE via ``jax.vjp`` — the
+same fake batch feeds the D update (stop-gradient) and the G update (pullback
+with the G-loss cotangent), exactly like torch autograd graph reuse, instead
+of re-tracing G twice. Spectral-norm power iterations per step match torch:
+3 on D (real, fake-detached, fake-for-G), 1 on G; G batch stats update once.
+
+Under a `jax.sharding` mesh, jit with the batch sharded over 'data' and
+params replicated — BN stats and gradient means become cross-replica
+automatically (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from layout2img_tpu.losses.gan import g_adv, hinge_d_fake, hinge_d_real
+from layout2img_tpu.train.state import GANTrainState, TrainConfig
+
+
+def make_train_step(
+    generator,
+    discriminator,
+    config: TrainConfig,
+    vgg_loss: Callable | None = None,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {"images": (b,s,s,3), "boxes": (b,o,4), "labels": (b,o)}.
+    """
+
+    def train_step(state: GANTrainState, batch: dict, rng: jax.Array):
+        images, boxes, labels = batch["images"], batch["boxes"], batch["labels"]
+        b, o = labels.shape
+        rng_z, rng_zim = jax.random.split(rng)
+        z = jax.random.normal(rng_z, (b, o, config.z_dim), images.dtype)
+        z_im = jax.random.normal(rng_zim, (b, config.z_dim), images.dtype)
+        valid = (labels != 0).astype(jnp.float32)
+
+        # ---- generator forward (single evaluation, vjp for the G update) ----
+        def g_forward(g_params):
+            fake, new_state = generator.apply(
+                {"params": g_params, **state.g_state},
+                z, boxes, labels, z_im,
+                train=True, update_stats=True,
+                mutable=["batch_stats", "spectral"],
+            )
+            return fake, new_state
+
+        fake, g_vjp, g_new_state = jax.vjp(g_forward, state.g_params, has_aux=True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- D update ----
+        def d_loss_fn(d_params):
+            out_r, ds = discriminator.apply(
+                {"params": d_params, **state.d_state},
+                images, boxes, labels, mutable=["spectral"],
+            )
+            out_f, ds = discriminator.apply(
+                {"params": d_params, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
+            )
+            loss = config.lamb_obj * (
+                hinge_d_real(out_r["object"], valid) + hinge_d_fake(out_f["object"], valid)
+            ) + config.lamb_img * (
+                hinge_d_real(out_r["image"]) + hinge_d_fake(out_f["image"])
+            )
+            metrics = {
+                "d_loss_real": hinge_d_real(out_r["image"]),
+                "d_loss_fake": hinge_d_fake(out_f["image"]),
+                "d_loss_robj": hinge_d_real(out_r["object"], valid),
+                "d_loss_fobj": hinge_d_fake(out_f["object"], valid),
+            }
+            if "app" in out_r:
+                rapp = hinge_d_real(out_r["app"], valid)
+                fapp = hinge_d_fake(out_f["app"], valid)
+                loss = loss + config.lamb_app * (rapp + fapp)
+                metrics |= {"d_loss_rapp": rapp, "d_loss_fapp": fapp}
+            return loss, (ds, metrics)
+
+        (d_loss, (d_state, d_metrics)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_updates, d_opt_state = state.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G update (uses the freshly-updated D, like the reference) ----
+        def g_loss_from_fake(fake_img):
+            out_g, ds = discriminator.apply(
+                {"params": d_params, **d_state}, fake_img, boxes, labels,
+                mutable=["spectral"],
+            )
+            loss = config.lamb_obj * g_adv(out_g["object"], valid) + config.lamb_img * g_adv(
+                out_g["image"]
+            )
+            metrics = {
+                "g_loss_fake": g_adv(out_g["image"]),
+                "g_loss_obj": g_adv(out_g["object"], valid),
+            }
+            if "app" in out_g:
+                gapp = g_adv(out_g["app"], valid)
+                loss = loss + config.lamb_app * gapp
+                metrics["g_loss_app"] = gapp
+            if config.use_pixel_loss:
+                pixel = jnp.mean(jnp.abs(fake_img - images))
+                loss = loss + pixel
+                metrics["pixel_loss"] = pixel
+            if config.use_vgg_loss and vgg_loss is not None:
+                feat = vgg_loss(fake_img, images)
+                loss = loss + feat
+                metrics["feat_loss"] = feat
+            return loss, (ds, metrics)
+
+        (g_loss, (d_state, g_metrics)), fake_grad = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True
+        )(fake)
+        (g_grads,) = g_vjp(fake_grad)
+        g_updates, g_opt_state = state.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = {"d_loss": d_loss, "g_loss": g_loss} | d_metrics | g_metrics
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_state=g_new_state,
+            d_params=d_params,
+            d_state=d_state,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sample_fn(generator, config: TrainConfig, truncation: float = 2.0) -> Callable:
+    """Inference sampler: truncated-normal z (reference ``utils/util.py:39-45``
+    rejection loop -> ``jax.random.truncated_normal``), eval-mode BN."""
+
+    def sample(g_params, g_state, boxes, labels, rng):
+        b, o = labels.shape
+        rng_z, rng_zim = jax.random.split(rng)
+        z = jax.random.truncated_normal(
+            rng_z, -truncation, truncation, (b, o, config.z_dim)
+        )
+        z_im = jax.random.truncated_normal(
+            rng_zim, -truncation, truncation, (b, config.z_dim)
+        )
+        return generator.apply(
+            {"params": g_params, **g_state},
+            z, boxes, labels, z_im,
+            train=False, update_stats=False,
+        )
+
+    return sample

@@ -1,0 +1,165 @@
+"""Data pipeline tests on synthesized COCO-json / VG-h5 fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from layout2img_tpu.data.coco import CocoLayoutDataset, HostDataLoader, split_fg_bg
+from layout2img_tpu.data.synthetic import synthetic_batch
+from layout2img_tpu.data.vg import VgLayoutDataset
+
+
+@pytest.fixture
+def coco_fixture(tmp_path, rng):
+    import PIL.Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for i in range(6):
+        w, h = 64, 48
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        fn = f"img{i}.jpg"
+        PIL.Image.fromarray(arr).save(img_dir / fn)
+        images.append({"id": i, "file_name": fn, "width": w, "height": h})
+        n_obj = 3 + (i % 3)
+        for j in range(n_obj):
+            annotations.append(
+                {
+                    "id": i * 10 + j,
+                    "image_id": i,
+                    "category_id": 1 + (j % 3),
+                    "bbox": [5 + j, 5, 20, 20],
+                    "iscrowd": 0,
+                }
+            )
+    # a too-small box (filtered) and a crowd box (filtered)
+    annotations.append({"id": 999, "image_id": 0, "category_id": 1, "bbox": [0, 0, 2, 2], "iscrowd": 0})
+    annotations.append({"id": 998, "image_id": 0, "category_id": 1, "bbox": [5, 5, 30, 30], "iscrowd": 1})
+    categories = [{"id": c, "name": f"thing{c}"} for c in (1, 2, 3)]
+    inst = {"images": images, "annotations": annotations, "categories": categories}
+    stuff = {
+        "images": images,
+        "annotations": [
+            {"id": 5000 + i, "image_id": i, "category_id": 92, "bbox": [0, 0, 40, 40], "iscrowd": 0}
+            for i in range(6)
+        ],
+        "categories": [{"id": 92, "name": "stuff92"}],
+    }
+    inst_path = tmp_path / "instances.json"
+    stuff_path = tmp_path / "stuff.json"
+    inst_path.write_text(json.dumps(inst))
+    stuff_path.write_text(json.dumps(stuff))
+    return str(img_dir), str(inst_path), str(stuff_path)
+
+
+def test_coco_dataset_shapes_and_padding(coco_fixture):
+    img_dir, inst, stuff = coco_fixture
+    ds = CocoLayoutDataset(img_dir, inst, stuff, image_size=32, left_right_flip=True)
+    assert len(ds) == 2 * len(ds.image_ids)
+    item = ds[0]
+    assert item["images"].shape == (32, 32, 3)
+    assert item["labels"].shape == (8,)
+    assert item["boxes"].shape == (8, 4)
+    assert item["images"].min() >= -1 and item["images"].max() <= 1
+    # padding convention
+    n_valid = int((item["labels"] != 0).sum())
+    assert n_valid >= 3
+    np.testing.assert_allclose(item["boxes"][n_valid:], [[-0.6, -0.6, 0.5, 0.5]] * (8 - n_valid))
+
+
+def test_coco_flip_mirrors_boxes(coco_fixture):
+    img_dir, inst, stuff = coco_fixture
+    ds = CocoLayoutDataset(img_dir, inst, stuff, image_size=32, left_right_flip=True)
+    n = len(ds.image_ids)
+    a, b = ds[0], ds[n]
+    valid = a["labels"] != 0
+    # x0_flipped = 1 - (x0 + w); y and sizes unchanged
+    np.testing.assert_allclose(
+        b["boxes"][valid][:, 0], 1 - (a["boxes"][valid][:, 0] + a["boxes"][valid][:, 2]), rtol=1e-6
+    )
+    np.testing.assert_allclose(b["boxes"][valid][:, 1:], a["boxes"][valid][:, 1:], rtol=1e-6)
+    np.testing.assert_allclose(b["images"], a["images"][:, ::-1], atol=2e-2)
+
+
+def test_coco_filters_small_and_crowd(coco_fixture):
+    img_dir, inst, stuff = coco_fixture
+    ds = CocoLayoutDataset(img_dir, inst, stuff, image_size=32)
+    # image 0 had 3 valid thing boxes + 1 stuff; the tiny and crowd boxes dropped
+    objs = ds.objects[0]
+    assert len(objs) == 4
+
+
+def test_fg_bg_split():
+    labels = np.array([1, 90, 92, 183, 0, 0, 0, 0], np.int32)
+    boxes = np.tile(np.array([0.1, 0.1, 0.2, 0.2], np.float32), (8, 1))
+    out = split_fg_bg(labels, boxes)
+    np.testing.assert_array_equal(out["labels_fg"][:2], [1, 90])
+    assert (out["labels_fg"][2:] == 0).all()
+    np.testing.assert_array_equal(out["labels_bg"][:2], [1, 92])  # 92-91, 183-91
+    np.testing.assert_allclose(out["boxes_bg"][2], [-0.6, -0.6, 0.5, 0.5])
+
+
+def test_host_loader_batches(coco_fixture):
+    img_dir, inst, stuff = coco_fixture
+    ds = CocoLayoutDataset(img_dir, inst, stuff, image_size=32, left_right_flip=True)
+    loader = HostDataLoader(ds, batch_size=4, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    for b in batches:
+        assert b["images"].shape == (4, 32, 32, 3)
+        assert b["labels"].shape == (4, 8)
+
+
+@pytest.fixture
+def vg_fixture(tmp_path, rng):
+    import h5py
+    import PIL.Image
+
+    img_dir = tmp_path / "vg"
+    img_dir.mkdir()
+    n, max_o, max_r = 3, 5, 4
+    paths = []
+    for i in range(n):
+        arr = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+        fn = f"vg{i}.jpg"
+        PIL.Image.fromarray(arr).save(img_dir / fn)
+        paths.append(fn.encode())
+    h5 = tmp_path / "train.h5"
+    with h5py.File(h5, "w") as f:
+        f["image_paths"] = paths
+        f["object_names"] = rng.integers(1, 10, (n, max_o)).astype(np.int32)
+        f["object_boxes"] = rng.integers(0, 20, (n, max_o, 4)).astype(np.int32) + 1
+        f["objects_per_image"] = np.full(n, max_o, np.int32)
+        f["relationships_per_image"] = np.full(n, 2, np.int32)
+        f["relationship_subjects"] = np.zeros((n, max_r), np.int32)
+        f["relationship_objects"] = np.ones((n, max_r), np.int32)
+        f["relationship_predicates"] = np.zeros((n, max_r), np.int32)
+    vocab = {
+        "object_idx_to_name": ["__image__"] + [f"o{i}" for i in range(1, 11)],
+        "object_name_to_idx": {"__image__": 0, **{f"o{i}": i for i in range(1, 11)}},
+    }
+    vocab_path = tmp_path / "vocab.json"
+    vocab_path.write_text(json.dumps(vocab))
+    return str(vocab_path), str(h5), str(img_dir)
+
+
+def test_vg_dataset(vg_fixture):
+    vocab, h5, img_dir = vg_fixture
+    ds = VgLayoutDataset(vocab, h5, img_dir, image_size=32, max_objects=6, left_right_flip=True)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["images"].shape == (32, 32, 3)
+    assert item["labels"].shape == (7,)
+    assert item["boxes"].shape == (7, 4)
+    # the __image__ token has the full-canvas box
+    k = int((item["labels"] != 0).sum())
+    np.testing.assert_allclose(item["boxes"][k], [0, 0, 1, 1])
+
+
+def test_synthetic_batch_conventions(rng):
+    b = synthetic_batch(rng, 4, 64, 8, 20)
+    assert b["images"].shape == (4, 64, 64, 3)
+    assert ((b["labels"] == 0) == (b["boxes"][:, :, 0] == -0.6)).all()

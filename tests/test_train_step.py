@@ -1,0 +1,95 @@
+"""End-to-end train-step tests on tiny configs: losses finite and decreasing
+machinery intact, state updated, and the data-parallel mesh path compiles and
+matches single-device numerics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layout2img_tpu.data.synthetic import synthetic_batch
+from layout2img_tpu.models.discriminators import LayoutDiscriminator
+from layout2img_tpu.models.generators import make_generator
+from layout2img_tpu.parallel.mesh import jit_train_step, make_mesh, replicate, shard_batch
+from layout2img_tpu.train.state import TrainConfig, create_train_state
+from layout2img_tpu.train.step import make_sample_fn, make_train_step
+
+
+def _tiny_setup(rng, b=2, o=4, size=64, num_classes=10, app=False):
+    gen = make_generator(
+        "lostgan64" if size == 64 else "ours_d_base128",
+        num_classes,
+        ch=4,
+        num_mask_classes=num_classes,
+    )
+    disc = LayoutDiscriminator(num_classes=num_classes, image_size=size, ch=4, app_head=app)
+    batch = synthetic_batch(rng, b, size, o, num_classes)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    cfg = TrainConfig(use_vgg_loss=False)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg)
+    step = make_train_step(gen, disc, cfg)
+    return gen, disc, batch, cfg, state, step
+
+
+def test_train_step_runs_and_updates(rng):
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, app=True, size=128)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params, new_state.g_params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # app-head metrics present
+    assert "d_loss_rapp" in metrics and "g_loss_app" in metrics
+    # spectral state advanced on both nets
+    u_old = jax.tree_util.tree_leaves(state.d_state["spectral"])[0]
+    u_new = jax.tree_util.tree_leaves(new_state.d_state["spectral"])[0]
+    assert float(jnp.max(jnp.abs(u_old - u_new))) > 0
+
+
+def test_train_step_multiple_steps_stable(rng):
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng)
+    jstep = jax.jit(step)
+    for i in range(3):
+        state, metrics = jstep(state, batch, jax.random.PRNGKey(i))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_train_step_data_parallel_matches_single(rng):
+    """The whole DataParallel+SyncBN apparatus: one jit over a mesh.
+    Sharded-batch numerics must match the unsharded run."""
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, b=8)
+    ref_state, ref_metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    pstep = jit_train_step(step, mesh, donate_state=False)
+    sstate = replicate(mesh, state)
+    sbatch = shard_batch(mesh, batch)
+    new_state, metrics = pstep(sstate, sbatch, replicate(mesh, jax.random.PRNGKey(1)))
+
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(ref_metrics["d_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["g_loss"]), float(ref_metrics["g_loss"]), rtol=1e-4
+    )
+    a = jax.tree_util.tree_leaves(ref_state.g_params)[0]
+    b = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sampler(rng):
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng)
+    sample = make_sample_fn(gen, cfg)
+    img = sample(
+        state.g_params, state.g_state, batch["boxes"], batch["labels"], jax.random.PRNGKey(0)
+    )
+    assert img.shape == batch["images"].shape
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
