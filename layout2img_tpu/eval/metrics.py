@@ -1,0 +1,76 @@
+"""Generative metrics: Inception Score and FID.
+
+IS matches the reference protocol (``IS.py:111-148``): split the probs,
+IS_split = exp(mean_i KL(p(y|x_i) || mean_i p(y|x_i))), report mean/std over
+``splits`` (reference uses 3, not the usual 10 — ``IS.py:34``).
+
+FID is the standard Frechet distance on pool3 features (the reference leaves
+FID external; README numbers only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def inception_score(probs: np.ndarray, splits: int = 3) -> tuple[float, float]:
+    """probs: (n, num_classes) softmax outputs."""
+    probs = np.asarray(probs, np.float64)
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits : (i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-16) - np.log(marginal + 1e-16))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2))."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
+    f1 = np.asarray(feats1, np.float64)
+    f2 = np.asarray(feats2, np.float64)
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    s1 = np.cov(f1, rowvar=False)
+    s2 = np.cov(f2, rowvar=False)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def run_inception(
+    inception_apply, variables, images: np.ndarray, batch_size: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched on-device feature/probability extraction.
+
+    images: (n, h, w, 3) in [-1, 1]. Returns (features (n, 2048),
+    probs (n, 1000)). The tail batch is padded to keep shapes static.
+    """
+    n = images.shape[0]
+    feats, probs = [], []
+    jit_apply = jax.jit(inception_apply)
+    for i in range(0, n, batch_size):
+        chunk = images[i : i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        f, logits = jit_apply(variables, jnp.asarray(chunk))
+        p = jax.nn.softmax(logits, axis=-1)
+        feats.append(np.asarray(f)[: batch_size - pad])
+        probs.append(np.asarray(p)[: batch_size - pad])
+    return np.concatenate(feats), np.concatenate(probs)

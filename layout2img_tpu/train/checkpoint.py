@@ -1,0 +1,62 @@
+"""Checkpoint/resume via Orbax.
+
+The reference saves bare ``state_dict`` .pth files every 5 epochs with no
+optimizer state (``train_ours_d.py:186-187``) and resumes by path string
+parsing (``train_context_app_v2.py:71-104``); its layout2im-side saver keeps
+the last 5 files (``utils_layout2img/model_saver.py:85-103``). Here the FULL
+train state (both nets' params, BN/spectral collections, both Adam states,
+step counter) round-trips atomically, with keep-last-N retention.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from layout2img_tpu.train.state import GANTrainState
+
+
+def _as_pytree(state: GANTrainState) -> dict:
+    return {
+        "step": state.step,
+        "g_params": state.g_params,
+        "g_state": state.g_state,
+        "d_params": state.d_params,
+        "d_state": state.d_state,
+        "g_opt_state": state.g_opt_state,
+        "d_opt_state": state.d_opt_state,
+    }
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+        )
+
+    def save(self, state: GANTrainState, step: int | None = None) -> None:
+        step = int(state.step) if step is None else step
+        self._mgr.save(step, args=ocp.args.StandardSave(_as_pytree(state)))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state: GANTrainState, step: int | None = None) -> GANTrainState:
+        """Restore into the structure of an (initialized) state template."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_as_pytree(state))
+        )
+        return state.replace(**restored)
+
+    def close(self):
+        self._mgr.close()
