@@ -1,0 +1,93 @@
+"""Sampling CLI — covers the reference's test_* scripts
+(template: ``test_app.py:44-103``): load a G checkpoint, iterate val
+layouts, draw ``--num_img`` truncated-normal samples per layout, write JPEGs
+named ``sample{idx}_numb{j}.jpg``. Batched (the reference samples one image
+at a time)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="context_app_v2")
+    p.add_argument("--dataset", default="coco", choices=["coco", "vg", "synthetic"])
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--sample_path", default="./samples")
+    p.add_argument("--num_img", type=int, default=5)
+    p.add_argument("--img_size", type=int, default=128)
+    p.add_argument("--ch", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_layouts", type=int, default=0)
+    p.add_argument("--truncation", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coco_image_dir", default="datasets/coco/images/val2017")
+    p.add_argument("--coco_instances", default="datasets/coco/annotations/instances_val2017.json")
+    p.add_argument("--coco_stuff", default="datasets/coco/annotations/stuff_val2017.json")
+    p.add_argument("--vg_vocab", default="datasets/vg/vocab.json")
+    p.add_argument("--vg_h5", default="datasets/vg/val.h5")
+    p.add_argument("--vg_image_dir", default="datasets/vg/images")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import PIL.Image
+
+    from layout2img_tpu.cli.presets import EXPERIMENTS, dataset_spec
+    from layout2img_tpu.cli.train import build_dataset
+    from layout2img_tpu.data.coco import HostDataLoader
+    from layout2img_tpu.models.discriminators import make_discriminator
+    from layout2img_tpu.models.generators import make_generator
+    from layout2img_tpu.train.checkpoint import CheckpointManager
+    from layout2img_tpu.train.state import TrainConfig, create_train_state
+    from layout2img_tpu.train.step import make_sample_fn
+
+    args = parse_args(argv)
+    exp = EXPERIMENTS[args.model]
+    num_classes, num_objects = dataset_spec(args.dataset)
+
+    gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
+    disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
+
+    args.steps_per_epoch = 4
+    loader = build_dataset(args, num_objects)
+    if isinstance(loader, HostDataLoader):
+        loader.shuffle = False
+
+    example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
+    cfg = TrainConfig(use_vgg_loss=False)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
+    state = CheckpointManager(args.ckpt_dir).restore(state)
+
+    sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
+    os.makedirs(args.sample_path, exist_ok=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    idx = 0
+    for batch in loader:
+        boxes = jnp.asarray(batch["boxes"])
+        labels = jnp.asarray(batch["labels"])
+        for j in range(args.num_img):
+            rng, srng = jax.random.split(rng)
+            imgs = np.asarray(sample(state.g_params, state.g_state, boxes, labels, srng))
+            imgs = np.clip(imgs * 0.5 + 0.5, 0, 1)
+            for k in range(imgs.shape[0]):
+                out = (imgs[k] * 255).astype(np.uint8)
+                PIL.Image.fromarray(out).save(
+                    os.path.join(args.sample_path, f"sample{idx + k}_numb{j}.jpg")
+                )
+        idx += boxes.shape[0]
+        if args.max_layouts and idx >= args.max_layouts:
+            break
+    print(f"wrote {idx} layouts x {args.num_img} samples to {args.sample_path}")
+
+
+if __name__ == "__main__":
+    main()

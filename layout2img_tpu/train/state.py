@@ -88,10 +88,12 @@ def create_train_state(
     z = jax.random.normal(rng_z, (b, o, config.z_dim))
     z_im = jax.random.normal(rng_z, (b, config.z_dim))
 
-    g_vars = generator.init(
+    # jit the inits: flax init is eager per-op otherwise, which is pathologically
+    # slow over a remote-device transport
+    g_vars = jax.jit(generator.init)(
         rng_g, z, example_batch["boxes"], example_batch["labels"], z_im
     )
-    d_vars = discriminator.init(
+    d_vars = jax.jit(discriminator.init)(
         rng_d, example_batch["images"], example_batch["boxes"], example_batch["labels"]
     )
     g_params, g_state = _split_collections(g_vars)
