@@ -212,3 +212,33 @@ def masks_to_layout(boxes: jax.Array, masks: jax.Array, h: int, w: int | None = 
     wy = sample_matrix_1d(sy, m)  # (b, o, h, m)
     out = jnp.einsum("bohm,bomn->bohn", wy, masks)
     return jnp.einsum("bown,bohn->bohw", wx, out)
+
+
+def crop_boxes(images: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
+    """Differentiable crop of each object's box, resized to (out, out).
+
+    Matches reference ``model_layout2img/bilinear.py:26-99``
+    (``crop_bbox_batch``): the sampling grid spans linspace over the box
+    extent inclusive of endpoints, through grid_sample's align_corners=False
+    mapping with zero padding. The inverse op of ``masks_to_layout``.
+
+    Args:
+      images: (b, h, w, c) NHWC.
+      boxes: (b, o, 4) [x0, y0, bw, bh] in [0, 1].
+
+    Returns:
+      (b, o, out, out, c) crops.
+    """
+    h, w = images.shape[1], images.shape[2]
+    x0, y0, bw, bh = jnp.split(boxes, 4, axis=-1)  # (b, o, 1)
+
+    lin = jnp.linspace(0.0, 1.0, out_size)  # inclusive endpoints
+    gx = 2.0 * (x0 + lin * bw) - 1.0  # (b, o, out)
+    gy = 2.0 * (y0 + lin * bh) - 1.0
+    sx = ((gx + 1.0) * w - 1.0) / 2.0
+    sy = ((gy + 1.0) * h - 1.0) / 2.0
+
+    wx = sample_matrix_1d(sx, w)  # (b, o, out, w)
+    wy = sample_matrix_1d(sy, h)  # (b, o, out, h)
+    rows = jnp.einsum("boyh,bhwc->boywc", wy, images)
+    return jnp.einsum("boxw,boywc->boyxc", wx, rows)
