@@ -4,17 +4,23 @@ at 128x128, flagship Ours-D context config, on the available accelerator.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
-vs_baseline: the reference publishes no throughput numbers
-(BASELINE.md — no benchmarks/ dir). We normalize against an estimated
-PyTorch single-GPU baseline of 25 img/s for the same 128x128 G+D hinge step
-(LostGAN-class model, V100-era hardware implied by the 2021 SLURM setup);
-the driver's target is >=3x that baseline, i.e. vs_baseline >= 3.0.
+Methodology notes:
+- K train steps are fused into one dispatch with ``lax.scan`` — the
+  remote-device transport in this sandbox costs ~1s per dispatch, which
+  would otherwise dominate; fusing the step loop on device is the correct
+  TPU-native structure regardless (no host round-trip per step).
+- vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+  We normalize against an estimated PyTorch single-GPU baseline of 25 img/s
+  for the same 128x128 G+D hinge step (LostGAN-class model on the V100-era
+  hardware implied by the 2021 SLURM setup); the driver target is >=3x,
+  i.e. vs_baseline >= 3.0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -25,18 +31,27 @@ import jax.numpy as jnp
 TORCH_GPU_BASELINE_IMG_S = 25.0
 
 
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
 def main():
     from layout2img_tpu.data.synthetic import synthetic_batch
-    from layout2img_tpu.losses.perceptual import VGGLoss
+    from layout2img_tpu.losses.perceptual import VGGLoss, VGG19Features
     from layout2img_tpu.models.discriminators import LayoutDiscriminator
     from layout2img_tpu.models.generators import make_generator
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
 
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    scan_len = int(os.environ.get("BENCH_SCAN", "10"))
+    n_scans = int(os.environ.get("BENCH_SCANS", "3"))
     num_classes, num_obj, size = 184, 8, 128
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
 
+    log(f"building models (batch={batch_size}, scan={scan_len}x{n_scans})")
     gen = make_generator("ours_d_context128", num_classes)
     disc = LayoutDiscriminator(num_classes=num_classes, image_size=size, app_head=True)
 
@@ -44,24 +59,39 @@ def main():
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     cfg = TrainConfig()
-    vgg = VGGLoss()  # random filters: same FLOP cost as pretrained VGG19
+    log("initializing VGG (jitted)")
+    vgg_params = jax.jit(VGG19Features().init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    vgg = VGGLoss(vgg_params)
+    log("initializing train state (jitted)")
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg)
-    step = jax.jit(make_train_step(gen, disc, cfg, vgg_loss=vgg), donate_argnums=(0,))
+    train_step = make_train_step(gen, disc, cfg, vgg_loss=vgg)
 
-    rng = jax.random.PRNGKey(1)
-    # warmup / compile
-    state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
-    state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    def multi_step(state, batch, rngs):
+        def body(s, rng):
+            s, metrics = train_step(s, batch, rng)
+            return s, metrics["d_loss"]
+
+        return jax.lax.scan(body, state, rngs)
+
+    jit_multi = jax.jit(multi_step, donate_argnums=(0,))
+    rngs = jax.random.split(jax.random.PRNGKey(1), scan_len)
+
+    log("compiling + warmup scan")
+    state, losses = jit_multi(state, batch, rngs)
+    jax.block_until_ready(losses)
+    log(f"warmup done (d_loss {float(losses[-1]):.3f}); timing {n_scans} scans")
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics)
+    for i in range(n_scans):
+        state, losses = jit_multi(state, batch, jax.random.split(jax.random.PRNGKey(2 + i), scan_len))
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
+    steps = scan_len * n_scans
     img_s = batch_size * steps / dt
+    log(f"{steps} steps in {dt:.2f}s")
     print(
         json.dumps(
             {

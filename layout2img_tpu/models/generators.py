@@ -73,6 +73,7 @@ class LostGANGenerator(fnn.Module):
     num_mask_classes: int = 184
     map_size: int = 64  # mask-regression canvas (128 for the 256px model)
     rgb_head: bool = True  # False == "_nf" feature-only variant
+    parts: int = 1  # 3 == part-mask variant (resnet_generator_part.py:722-809)
 
     @fnn.compact
     def __call__(
@@ -103,13 +104,14 @@ class LostGANGenerator(fnn.Module):
             w = GraphFunc(num_w, name="context")(w, labels, deterministic=deterministic)
 
         if self.mask_trunk == "v2":
+            assert self.parts == 1, "part masks use the v1 trunk"
             bmask = MaskRegressNetV2(map_size=self.map_size, name="mask_regress")(
                 w, boxes, update_stats=update_stats
             )
         else:
-            bmask = MaskRegressNet(map_size=self.map_size, name="mask_regress")(
-                w, boxes, train=train, update_stats=update_stats
-            )
+            bmask = MaskRegressNet(
+                map_size=self.map_size, num_parts=self.parts, name="mask_regress"
+            )(w, boxes, train=train, update_stats=update_stats)
 
         in_mults, out_mults = _channel_schedule(self.image_size)
         n_blocks = len(out_mults)
@@ -258,6 +260,8 @@ _GENERATOR_PRESETS: dict[str, dict[str, Any]] = {
     ),
     # train_graph_context_app.py
     "graph128": dict(image_size=128, context="graph", mask_trunk="v1"),
+    # train_context_part.py (3-part masks, resnet_generator_part.py:722-809)
+    "context128_part": dict(image_size=128, context="attention", mask_trunk="v1", parts=3),
     # 256px variant (resnet_generator_app_v2.py:509)
     "ours_d_base256": dict(image_size=256, stage_masks=True, map_size=128),
 }

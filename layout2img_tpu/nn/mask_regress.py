@@ -58,6 +58,7 @@ class MaskRegressNet(fnn.Module):
     channels: int = 128
     mask_size: int = 16
     map_size: int = 64
+    num_parts: int = 1  # 3 == part variant (reference mask_regression_part.py:57-110)
 
     @fnn.compact
     def __call__(
@@ -81,6 +82,12 @@ class MaskRegressNet(fnn.Module):
         x = resize_bilinear_nhwc(x, (self.mask_size, self.mask_size))
         x = SNConv(ch, (3, 3), name="conv3a")(x, update_stats=update_stats)
         x = fnn.relu(SyncBatchNorm(name="bn3")(x, use_running_average=not train))
-        x = SNConv(1, (1, 1), name="conv3b")(x, update_stats=update_stats)
-        masks = fnn.sigmoid(x)[..., 0].reshape(b, o, self.mask_size, self.mask_size)
-        return masks_to_layout(boxes, masks, self.map_size)
+        x = SNConv(self.num_parts, (1, 1), name="conv3b")(x, update_stats=update_stats)
+        masks = fnn.sigmoid(x).reshape(b, o, self.mask_size, self.mask_size, self.num_parts)
+        if self.num_parts == 1:
+            return masks_to_layout(boxes, masks[..., 0], self.map_size)
+        layouts = [
+            masks_to_layout(boxes, masks[..., p], self.map_size)
+            for p in range(self.num_parts)
+        ]
+        return jnp.stack(layouts, axis=2)  # (b, o, P, map, map)

@@ -97,7 +97,7 @@ class SpatialAdaptiveNorm(fnn.Module):
         self,
         x: jax.Array,  # (b, h, w, c)
         vectors: jax.Array,  # (b, o, num_w)
-        mask: jax.Array,  # (b, o, mh, mw)
+        mask: jax.Array,  # (b, o, mh, mw) or (b, o, P, mh, mw) for part masks
         use_running_average: bool = False,
         update_spectral: bool = True,
     ) -> jax.Array:
@@ -107,11 +107,22 @@ class SpatialAdaptiveNorm(fnn.Module):
             x, use_running_average
         )
 
-        gamma = SNDense(c, name="weight_proj")(vectors, update_stats=update_spectral)
-        beta = SNDense(c, name="bias_proj")(vectors, update_stats=update_spectral)
+        # Part extension (reference norm_module_part.py:190-249): P mask
+        # channels each get their own (gamma, beta) projection; the output is
+        # the sum of the P modulated copies.
+        parts = 1 if mask.ndim == 4 else mask.shape[2]
+        if mask.ndim == 4:
+            mask = mask[:, :, None]  # (b, o, 1, mh, mw)
 
-        mask = resize_bilinear(mask, (h, w))  # (b, o, h, w)
-        denom = jnp.sum(mask, axis=1)[..., None] + 1e-6  # (b, h, w, 1)
-        gamma_map = jnp.einsum("bohw,boc->bhwc", mask, gamma) / denom + 1.0
-        beta_map = jnp.einsum("bohw,boc->bhwc", mask, beta) / denom
-        return y * gamma_map + beta_map
+        gamma = SNDense(c * parts, name="weight_proj")(vectors, update_stats=update_spectral)
+        beta = SNDense(c * parts, name="bias_proj")(vectors, update_stats=update_spectral)
+        b, o = vectors.shape[:2]
+        gamma = gamma.reshape(b, o, parts, c)
+        beta = beta.reshape(b, o, parts, c)
+
+        mask = resize_bilinear(mask, (h, w))  # (b, o, P, h, w)
+        denom = jnp.sum(mask, axis=1)[..., None] + 1e-6  # (b, P, h, w, 1)
+        gamma_map = jnp.einsum("bophw,bopc->bphwc", mask, gamma) / denom + 1.0
+        beta_map = jnp.einsum("bophw,bopc->bphwc", mask, beta) / denom
+        # sum over parts: sum_p (g_p * y + b_p) == y * sum_p g_p + sum_p b_p
+        return y * jnp.sum(gamma_map, axis=1) + jnp.sum(beta_map, axis=1)

@@ -108,8 +108,10 @@ def create_train_state(
         g_state=g_state,
         d_params=d_params,
         d_state=d_state,
-        g_opt_state=g_tx.init(g_params),
-        d_opt_state=d_tx.init(d_params),
+        # jit: optax init is otherwise one eager op per param leaf, which is
+        # prohibitively slow over a remote-device transport
+        g_opt_state=jax.jit(g_tx.init)(g_params),
+        d_opt_state=jax.jit(d_tx.init)(d_params),
         g_tx=g_tx,
         d_tx=d_tx,
     )

@@ -104,3 +104,14 @@ def test_generator_eval_mode_deterministic(rng):
     a = gen.apply(variables, z, boxes, labels, z_im, train=False, update_stats=False)
     b_ = gen.apply(variables, z, boxes, labels, z_im, train=False, update_stats=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_part_mask_generator(rng):
+    gen = make_generator("context128_part", 10, ch=4, num_mask_classes=10)
+    z, boxes, labels, z_im = _layout(rng)
+    variables = gen.init(jax.random.PRNGKey(0), z, boxes, labels, z_im)
+    img, _ = gen.apply(variables, z, boxes, labels, z_im, mutable=["batch_stats", "spectral"])
+    assert img.shape == (2, 128, 128, 3)
+    # part norm: weight projection has 3x features
+    wp = variables["params"]["res1"]["b1"]["weight_proj"]["kernel"]
+    assert wp.shape[-1] == 3 * 64  # 3 parts x in_ch(16*ch=64)
