@@ -51,6 +51,7 @@ class CocoLayoutDataset:
         include_other: bool = False,
         max_samples: int | None = None,
         fg_bg_split: bool = False,
+        use_native: bool | None = None,
     ):
         self.image_dir = image_dir
         self.image_size = image_size
@@ -58,6 +59,11 @@ class CocoLayoutDataset:
         self.left_right_flip = left_right_flip
         self.max_samples = max_samples
         self.fg_bg_split = fg_bg_split
+        if use_native is None:
+            from layout2img_tpu.data import native
+
+            use_native = native.native_available()
+        self.use_native = use_native
 
         with open(instances_json) as f:
             instances = json.load(f)
@@ -124,10 +130,18 @@ class CocoLayoutDataset:
         return n * 2 if self.left_right_flip else n
 
     def _load_image(self, image_id: int, flip: bool) -> np.ndarray:
+        path = os.path.join(self.image_dir, self.image_id_to_filename[image_id])
+        if self.use_native and path.lower().endswith((".jpg", ".jpeg")):
+            from layout2img_tpu.data import native
+
+            try:
+                return native.load_image(path, self.image_size, flip)
+            except OSError:
+                pass  # fall back to PIL (e.g. non-JPEG bytes)
+
         import PIL.Image
         import PIL.ImageOps
 
-        path = os.path.join(self.image_dir, self.image_id_to_filename[image_id])
         with open(path, "rb") as f:
             with PIL.Image.open(f) as img:
                 if flip:

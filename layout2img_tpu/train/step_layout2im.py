@@ -43,10 +43,6 @@ class Layout2ImConfig:
     lamb_cls: float = 1.0
 
 
-class Layout2ImState(optax._src.base.NamedTuple if False else object):
-    pass
-
-
 # Reuse the generic GANTrainState container from train.state
 from layout2img_tpu.train.state import GANTrainState  # noqa: E402
 
