@@ -51,14 +51,15 @@ def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "3"))
     num_classes, num_obj, size = 184, 8, 128
 
-    log(f"building models (batch={batch_size}, scan={scan_len}x{n_scans})")
+    log(f"building models (batch={batch_size}, scan={scan_len}x{n_scans}, mixed={os.environ.get('BENCH_MIXED', '1')=='1'})")
     gen = make_generator("ours_d_context128", num_classes)
     disc = LayoutDiscriminator(num_classes=num_classes, image_size=size, app_head=True)
 
     batch = synthetic_batch(np.random.default_rng(0), batch_size, size, num_obj, num_classes)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
-    cfg = TrainConfig()
+    mixed = os.environ.get("BENCH_MIXED", "1") == "1"
+    cfg = TrainConfig(mixed_precision=mixed)
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 
 def masked_mean(x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    x = x.astype(jnp.float32)  # loss accumulation always in fp32
     if mask is None:
         return jnp.mean(x)
     x = x.reshape(mask.shape)

@@ -32,6 +32,10 @@ class TrainConfig:
     use_pixel_loss: bool = True
     use_vgg_loss: bool = True
     mapping_lr_mult: float = 0.1
+    # bf16 compute with fp32 master params/optimizer state — the TPU-native
+    # precision scheme (the reference trains fp32 on GPUs). Norm statistics
+    # and the loss itself stay fp32 inside the modules.
+    mixed_precision: bool = False
 
 
 class GANTrainState(struct.PyTreeNode):

@@ -41,18 +41,29 @@ def make_train_step(
     batch: {"images": (b,s,s,3), "boxes": (b,o,4), "labels": (b,o)}.
     """
 
+    compute_dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     def train_step(state: GANTrainState, batch: dict, rng: jax.Array):
         images, boxes, labels = batch["images"], batch["boxes"], batch["labels"]
+        images = images.astype(compute_dtype)
         b, o = labels.shape
         rng_z, rng_zim = jax.random.split(rng)
-        z = jax.random.normal(rng_z, (b, o, config.z_dim), images.dtype)
-        z_im = jax.random.normal(rng_zim, (b, config.z_dim), images.dtype)
+        z = jax.random.normal(rng_z, (b, o, config.z_dim), compute_dtype)
+        z_im = jax.random.normal(rng_zim, (b, config.z_dim), compute_dtype)
         valid = (labels != 0).astype(jnp.float32)
 
         # ---- generator forward (single evaluation, vjp for the G update) ----
         def g_forward(g_params):
             fake, new_state = generator.apply(
-                {"params": g_params, **state.g_state},
+                {"params": cast(g_params), **state.g_state},
                 z, boxes, labels, z_im,
                 train=True, update_stats=True,
                 mutable=["batch_stats", "spectral"],
@@ -64,12 +75,13 @@ def make_train_step(
 
         # ---- D update ----
         def d_loss_fn(d_params):
+            d_p = cast(d_params)
             out_r, ds = discriminator.apply(
-                {"params": d_params, **state.d_state},
+                {"params": d_p, **state.d_state},
                 images, boxes, labels, mutable=["spectral"],
             )
             out_f, ds = discriminator.apply(
-                {"params": d_params, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
+                {"params": d_p, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
             )
             loss = config.lamb_obj * (
                 hinge_d_real(out_r["object"], valid) + hinge_d_fake(out_f["object"], valid)
@@ -100,7 +112,7 @@ def make_train_step(
         # ---- G update (uses the freshly-updated D, like the reference) ----
         def g_loss_from_fake(fake_img):
             out_g, ds = discriminator.apply(
-                {"params": d_params, **d_state}, fake_img, boxes, labels,
+                {"params": cast(d_params), **d_state}, fake_img, boxes, labels,
                 mutable=["spectral"],
             )
             loss = config.lamb_obj * g_adv(out_g["object"], valid) + config.lamb_img * g_adv(
@@ -115,7 +127,7 @@ def make_train_step(
                 loss = loss + config.lamb_app * gapp
                 metrics["g_loss_app"] = gapp
             if config.use_pixel_loss:
-                pixel = jnp.mean(jnp.abs(fake_img - images))
+                pixel = jnp.mean(jnp.abs(fake_img - images).astype(jnp.float32))
                 loss = loss + pixel
                 metrics["pixel_loss"] = pixel
             if config.use_vgg_loss and vgg_loss is not None:

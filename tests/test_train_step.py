@@ -93,3 +93,23 @@ def test_sampler(rng):
     assert img.shape == batch["images"].shape
     arr = np.asarray(img)
     assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
+
+
+def test_train_step_mixed_precision(rng):
+    from layout2img_tpu.train.state import TrainConfig, create_train_state
+    from layout2img_tpu.train.step import make_train_step
+    from layout2img_tpu.models.generators import make_generator
+    from layout2img_tpu.models.discriminators import LayoutDiscriminator
+
+    gen = make_generator("lostgan64", 10, ch=4)
+    disc = LayoutDiscriminator(num_classes=10, image_size=64, ch=4)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(rng, 2, 64, 4, 10))
+    cfg = TrainConfig(use_vgg_loss=False, mixed_precision=True)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # master params stay fp32
+    for leaf in jax.tree_util.tree_leaves(new_state.g_params):
+        assert leaf.dtype == jnp.float32
