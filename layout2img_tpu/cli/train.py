@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=500)
     p.add_argument("--steps_per_epoch", type=int, default=0, help="synthetic only")
     p.add_argument("--no_vgg", action="store_true")
+    p.add_argument("--mixed_precision", action="store_true")
+    p.add_argument("--profile_dir", default="", help="write a jax profiler trace of steps 10-20")
     # data paths
     p.add_argument("--coco_image_dir", default="datasets/coco/images/train2017")
     p.add_argument("--coco_instances", default="datasets/coco/annotations/instances_train2017.json")
@@ -56,6 +58,7 @@ def build_dataset(args, num_objects):
         ds = CocoLayoutDataset(
             args.coco_image_dir, args.coco_instances, args.coco_stuff,
             image_size=args.img_size, left_right_flip=True,
+            fg_bg_split=getattr(args, "fg_bg", False),
         )
         return HostDataLoader(ds, args.batch_size, seed=args.seed)
     if args.dataset == "vg":
@@ -82,6 +85,8 @@ def main(argv=None):
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
     args = parse_args(argv)
+    if args.model in ("ours_ed", "layout2im"):
+        return main_special(args)
     exp = EXPERIMENTS[args.model]
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
@@ -92,7 +97,8 @@ def main(argv=None):
     disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
 
     loader = build_dataset(args, num_objects)
-    cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg)
+    cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
+                      mixed_precision=args.mixed_precision)
     vgg = None
     if cfg.use_vgg_loss:
         params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None
@@ -121,8 +127,14 @@ def main(argv=None):
         for batch in loader:
             batch = shard_batch(mesh, {k: v for k, v in batch.items() if k in ("images", "labels", "boxes")})
             rng, step_rng = jax.random.split(rng)
+            if args.profile_dir and global_step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = step_fn(state, batch, replicate(mesh, step_rng))
             global_step += 1
+            if args.profile_dir and global_step == 20:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", args.profile_dir)
             if global_step % args.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 logger.info("epoch %d step %d: %s", epoch + 1, global_step,
@@ -138,3 +150,122 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def main_special(args):
+    """Training paths for the Ours-ED fg/bg and layout2im families."""
+    from layout2img_tpu.cli.presets import dataset_spec
+    from layout2img_tpu.utils.logging import MetricWriter, setup_logger
+
+    num_classes, num_objects = dataset_spec(args.dataset)
+    out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
+    logger = setup_logger("layout2img_tpu", out_dir)
+    writer = MetricWriter(out_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.model == "ours_ed":
+        import optax
+
+        from layout2img_tpu.data.coco import split_fg_bg
+        from layout2img_tpu.losses.perceptual import VGGLoss, load_torch_vgg19_features
+        from layout2img_tpu.models.discriminators import make_discriminator
+        from layout2img_tpu.models.generators import BgFgGenerator
+        from layout2img_tpu.train.state import GANTrainState, TrainConfig
+        from layout2img_tpu.train.step_bgfg import make_bgfg_train_step
+
+        args.img_size = 64
+        args.fg_bg = True
+        loader = build_dataset(args, num_objects)
+
+        def with_split(batch):
+            if "labels_fg" in batch:
+                return batch
+            import numpy as np
+
+            extra = {k: [] for k in ("labels_fg", "boxes_fg", "labels_bg", "boxes_bg")}
+            for i in range(batch["labels"].shape[0]):
+                spl = split_fg_bg(batch["labels"][i], batch["boxes"][i])
+                for k in extra:
+                    extra[k].append(spl[k])
+            batch.update({k: np.stack(v) for k, v in extra.items()})
+            return batch
+
+        gen = BgFgGenerator(num_fg_classes=91, num_bg_classes=num_classes - 91, ch=args.ch)
+        disc = make_discriminator("d64", num_classes, ch=args.ch)
+        cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
+                          mixed_precision=args.mixed_precision)
+        vgg = None
+        if cfg.use_vgg_loss:
+            params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None
+            vgg = VGGLoss(params)
+
+        example = with_split(next(iter(loader)))
+        example = jax.tree_util.tree_map(jnp.asarray, example)
+        b, o = example["labels"].shape
+        z = jnp.zeros((b, o, cfg.z_dim))
+        z_im = jnp.zeros((b, cfg.z_dim))
+        g_vars = dict(jax.jit(gen.init)(
+            rng, z, example["boxes_fg"], example["labels_fg"],
+            z, example["boxes_bg"], example["labels_bg"], z_im, z_im,
+        ))
+        d_vars = dict(jax.jit(disc.init)(
+            rng, example["images"], example["boxes"], example["labels"]
+        ))
+        g_params, d_params = g_vars.pop("params"), d_vars.pop("params")
+        g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
+        d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32), g_params=g_params, g_state=g_vars,
+            d_params=d_params, d_state=d_vars,
+            g_opt_state=jax.jit(g_tx.init)(g_params),
+            d_opt_state=jax.jit(d_tx.init)(d_params), g_tx=g_tx, d_tx=d_tx,
+        )
+        step_fn = jax.jit(make_bgfg_train_step(gen, disc, cfg, vgg_loss=vgg), donate_argnums=(0,))
+        prepare = with_split
+    else:  # layout2im
+        from layout2img_tpu.models.layout2im import (
+            Layout2ImGenerator,
+            Layout2ImImageDiscriminator,
+            Layout2ImObjectDiscriminator,
+        )
+        from layout2img_tpu.train.step_layout2im import (
+            Layout2ImConfig,
+            create_layout2im_state,
+            make_layout2im_train_step,
+        )
+
+        args.img_size = 64
+        loader = build_dataset(args, num_objects)
+        gen = Layout2ImGenerator(num_classes=num_classes)
+        d_img = Layout2ImImageDiscriminator(conv_dim=args.ch)
+        d_obj = Layout2ImObjectDiscriminator(num_classes=num_classes, conv_dim=args.ch)
+        l2i_cfg = Layout2ImConfig(lr_g=args.g_lr, lr_d=args.d_lr)
+        example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
+        state = create_layout2im_state(rng, gen, d_img, d_obj, example, l2i_cfg)
+        step_fn = jax.jit(make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg), donate_argnums=(0,))
+        prepare = lambda b: b
+
+    from layout2img_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    global_step = int(jax.device_get(state.step))
+    for epoch in range(args.total_epoch):
+        for batch in loader:
+            batch = jax.tree_util.tree_map(jnp.asarray, prepare(batch))
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            global_step += 1
+            if global_step % args.log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                logger.info("epoch %d step %d: %s", epoch + 1, global_step,
+                            {k: round(v, 4) for k, v in m.items()})
+                writer.write(global_step, m)
+        if (epoch + 1) % args.save_every_epochs == 0:
+            ckpt.save(jax.device_get(state))
+    ckpt.save(jax.device_get(state))
+    writer.close()
+    logger.info("done: %d steps", global_step)
