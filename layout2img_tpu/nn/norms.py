@@ -121,6 +121,11 @@ class SpatialAdaptiveNorm(fnn.Module):
         beta = beta.reshape(b, o, parts, c)
 
         mask = resize_bilinear(mask, (h, w))  # (b, o, P, h, w)
+        if parts == 1:
+            # fused Pallas kernel on TPU (XLA-einsum fallback elsewhere)
+            from layout2img_tpu.ops.pallas.isla import isla_modulate
+
+            return isla_modulate(y, mask[:, :, 0], gamma[:, :, 0], beta[:, :, 0])
         denom = jnp.sum(mask, axis=1)[..., None] + 1e-6  # (b, P, h, w, 1)
         gamma_map = jnp.einsum("bophw,bopc->bphwc", mask, gamma) / denom + 1.0
         beta_map = jnp.einsum("bophw,bopc->bphwc", mask, beta) / denom

@@ -1,0 +1,62 @@
+"""Validate + microbenchmark the Pallas ISLA kernel on the real TPU.
+
+Run: python scripts/check_pallas_tpu.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from layout2img_tpu.ops.pallas.isla import _xla_reference, isla_modulate
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(0)
+    for b, o, h, w, c, dtype in [
+        (16, 8, 128, 128, 64, jnp.float32),
+        (16, 8, 64, 64, 128, jnp.bfloat16),
+        (16, 8, 8, 8, 1024, jnp.bfloat16),
+    ]:
+        xn = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype)
+        mask = jnp.asarray(rng.random((b, o, h, w)), dtype)
+        gamma = jnp.asarray(rng.standard_normal((b, o, c)), dtype)
+        beta = jnp.asarray(rng.standard_normal((b, o, c)), dtype)
+
+        fused = jax.jit(isla_modulate)
+        ref = jax.jit(_xla_reference)
+        got = np.asarray(fused(xn, mask, gamma, beta), np.float32)
+        want = np.asarray(ref(xn, mask, gamma, beta), np.float32)
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        print(f"shape b{b} o{o} {h}x{w}x{c} {dtype.__name__}: rel err {err:.2e}")
+        assert err < (2e-2 if dtype == jnp.bfloat16 else 1e-5), err
+
+        # microbench via scan (amortize dispatch)
+        def many(f):
+            def run(args, n=50):
+                def body(carry, _):
+                    out = f(*args)
+                    return carry, out[0, 0, 0, 0]
+
+                return jax.lax.scan(body, 0, None, length=n)[1]
+
+            return jax.jit(run)
+
+        for name, f in (("pallas", fused), ("xla", ref)):
+            r = many(f)((xn, mask, gamma, beta))
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            r = many(f)((xn, mask, gamma, beta))
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / 50
+            print(f"  {name}: {dt * 1e6:8.1f} us/call")
+
+
+if __name__ == "__main__":
+    main()
