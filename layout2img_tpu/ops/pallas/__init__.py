@@ -1,7 +1,12 @@
 """Pallas TPU kernels for the hot ops, with pure-XLA fallbacks.
 
-Enable/disable with env ``L2I_USE_PALLAS`` ("1"/"0"; default: auto — on
-when the default backend is TPU)."""
+Enable with env ``L2I_USE_PALLAS=1``. Default OFF: the fused ISLA kernel
+beats the XLA einsum path measured in isolation (1.05-1.7x across shapes),
+but in the full train step XLA's producer/consumer fusion of the einsums
+into the surrounding normalize/relu chain — which the custom_vjp boundary
+blocks — wins overall (213 vs 193 img/s end-to-end on v5e). Kept as a
+measured, tested optimization knob; revisit when the op mix changes
+(e.g. inference-only graphs, larger o)."""
 
 import os
 
@@ -9,7 +14,7 @@ import jax
 
 
 def pallas_enabled() -> bool:
-    flag = os.environ.get("L2I_USE_PALLAS", "auto")
+    flag = os.environ.get("L2I_USE_PALLAS", "0")
     if flag == "auto":
         return jax.default_backend() == "tpu"
     return flag == "1"
