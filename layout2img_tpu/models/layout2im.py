@@ -215,6 +215,9 @@ class LayoutEncoder(fnn.Module):
     z_dim: int = 8
     embedding_dim: int = 64
     resi_num: int = 6
+    # "transformer" == the paper's final fusion (generator_app.py:844-855);
+    # "convlstm" == the upstream layout2im baseline (generator{,1,2}.py)
+    fusion: str = "transformer"
 
     @fnn.compact
     def __call__(self, labels, masks, z, valid, train: bool = True, deterministic: bool = True):
@@ -248,19 +251,23 @@ class LayoutEncoder(fnn.Module):
             if i < 3:
                 h = fnn.relu(h)
 
-        # masked per-image sum over objects (replaces featuremap_composition)
         h = h.reshape(b, o, 8, 8, cd * 8)
-        h = jnp.einsum("bohwc,bo->bhwc", h, valid.astype(h.dtype))
+        if self.fusion == "convlstm":
+            from layout2img_tpu.models.convlstm import LayoutConvLSTM
 
-        # transformer refinement over the 64 spatial tokens
-        tokens = h.reshape(b, 64, cd * 8)
-        tokens = TransformerEncoder(3, name="transformer_encoder")(
-            tokens, deterministic=deterministic
-        )
-        h = tokens.reshape(b, 8, 8, cd * 8)
-        h = fnn.Conv(cd, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="c5")(h)
-        h = MaskedBatchNorm(name="bn5")(h, use_running_average=not train)
-        h = fnn.relu(h)
+            h = LayoutConvLSTM((cd * 2, cd, cd), name="clstm")(h, valid)
+        else:
+            # masked per-image sum over objects (replaces featuremap_composition)
+            h = jnp.einsum("bohwc,bo->bhwc", h, valid.astype(h.dtype))
+            # transformer refinement over the 64 spatial tokens
+            tokens = h.reshape(b, 64, cd * 8)
+            tokens = TransformerEncoder(3, name="transformer_encoder")(
+                tokens, deterministic=deterministic
+            )
+            h = tokens.reshape(b, 8, 8, cd * 8)
+            h = fnn.Conv(cd, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="c5")(h)
+            h = MaskedBatchNorm(name="bn5")(h, use_running_average=not train)
+            h = fnn.relu(h)
 
         for i in range(self.resi_num):
             r = fnn.Conv(cd, (3, 3), padding="SAME", use_bias=False, name=f"res{i}_conv1")(h)
@@ -306,6 +313,7 @@ class Layout2ImGenerator(fnn.Module):
     embedding_dim: int = 64
     z_dim: int = 8
     obj_size: int = 32
+    fusion: str = "transformer"  # or "convlstm" (upstream baseline)
 
     @fnn.compact
     def __call__(self, images, labels, boxes, masks, z_rand, rng, train: bool = True,
@@ -316,7 +324,7 @@ class Layout2ImGenerator(fnn.Module):
         crop_enc = CropEncoder(self.num_classes, z_dim=self.z_dim, name="crop_encoder")
         layout_enc = LayoutEncoder(
             self.num_classes, z_dim=self.z_dim,
-            embedding_dim=self.embedding_dim, name="layout_encoder",
+            embedding_dim=self.embedding_dim, fusion=self.fusion, name="layout_encoder",
         )
         decoder = Decoder(name="decoder")
 

@@ -214,6 +214,35 @@ def masks_to_layout(boxes: jax.Array, masks: jax.Array, h: int, w: int | None = 
     return jnp.einsum("bown,bohn->bohw", wx, out)
 
 
+def paste_boxes(crops: jax.Array, boxes: jax.Array, h: int, w: int | None = None) -> jax.Array:
+    """Inverse of ``crop_boxes``: splat per-object crops into their box
+    footprint on an (h, w) canvas, zero outside (multi-channel
+    ``masks_to_layout``; reference ``model_layout2img/bilinear.py:133-186``
+    ``uncrop_bbox``).
+
+    Args:
+      crops: (b, o, m, m, c).
+      boxes: (b, o, 4) xywh in [0, 1].
+
+    Returns:
+      (b, o, h, w, c) per-object canvases.
+    """
+    if w is None:
+        w = h
+    m = crops.shape[2]
+    x0, y0, bw, bh = jnp.split(boxes, 4, axis=-1)
+    lin_x = jnp.linspace(0.0, 1.0, w)
+    lin_y = jnp.linspace(0.0, 1.0, h)
+    gx = 2.0 * (lin_x - x0) / bw - 1.0
+    gy = 2.0 * (lin_y - y0) / bh - 1.0
+    sx = ((gx + 1.0) * m - 1.0) / 2.0
+    sy = ((gy + 1.0) * m - 1.0) / 2.0
+    wx = sample_matrix_1d(sx, m)  # (b, o, w, m)
+    wy = sample_matrix_1d(sy, m)  # (b, o, h, m)
+    rows = jnp.einsum("bohm,bomnc->bohnc", wy, crops)
+    return jnp.einsum("bown,bohnc->bohwc", wx, rows)
+
+
 def crop_boxes(images: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
     """Differentiable crop of each object's box, resized to (out, out).
 

@@ -42,6 +42,23 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_host_local_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Multi-host variant of ``shard_batch``: each process contributes its
+    local shard of the global batch (reference SURVEY.md section 5.8 —
+    host data loading sharded per process over DCN). On a single host this
+    equals ``shard_batch``."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    n_proc = jax.process_count()
+
+    def put(x):
+        if n_proc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def jit_train_step(
     train_step: Callable, mesh: Mesh, axis_name: str = "data", donate_state: bool = True
 ) -> Callable:

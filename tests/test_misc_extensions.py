@@ -1,0 +1,98 @@
+"""Tests: paste_boxes golden, ConvLSTM fusion variant, EMA, multi-host helper."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from layout2img_tpu.ops.interp import crop_boxes, masks_to_layout, paste_boxes
+
+
+def test_paste_boxes_matches_masks_to_layout(rng):
+    """Single-channel paste must equal masks_to_layout exactly."""
+    b, o, m = 2, 3, 16
+    crops = rng.random((b, o, m, m, 1)).astype(np.float32)
+    boxes = np.concatenate(
+        [rng.random((b, o, 2)) * 0.5, rng.random((b, o, 2)) * 0.4 + 0.1], -1
+    ).astype(np.float32)
+    got = np.asarray(paste_boxes(jnp.asarray(crops), jnp.asarray(boxes), 48))
+    want = np.asarray(masks_to_layout(jnp.asarray(boxes), jnp.asarray(crops[..., 0]), 48))
+    np.testing.assert_allclose(got[..., 0], want, rtol=1e-5, atol=1e-6)
+
+
+def test_paste_boxes_multichannel_roundtrip_center(rng):
+    """crop -> paste round-trips a linear gradient exactly in the box
+    interior (bilinear resampling is exact on affine images)."""
+    b, o = 1, 1
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64
+    img = np.stack([xx, yy, xx + yy], -1)[None]
+    boxes = np.array([[[0.25, 0.25, 0.5, 0.5]]], np.float32)
+    crops = crop_boxes(jnp.asarray(img), jnp.asarray(boxes), 32)
+    back = np.asarray(paste_boxes(crops, jnp.asarray(boxes), 64))
+    # sub-pixel convention mismatch between the reference's crop (inclusive
+    # endpoint linspace) and uncrop (grid inverse) bounds the roundtrip
+    np.testing.assert_allclose(
+        back[0, 0, 20:44, 20:44], img[0, 20:44, 20:44], atol=2.5e-2
+    )
+    # outside the box must be zero
+    assert np.abs(back[0, 0, :14]).max() == 0.0
+
+
+def test_convlstm_fusion_variant(rng):
+    from layout2img_tpu.models.layout2im import Layout2ImGenerator
+    from layout2img_tpu.ops.bbox import bbox_mask
+
+    b, o, zd = 1, 3, 8
+    images = jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, 8, (b, o)).astype(np.int32))
+    boxes = jnp.asarray((rng.random((b, o, 4)) * 0.4 + 0.1).astype(np.float32))
+    masks = bbox_mask(boxes, 64, 64)
+    z_rand = jnp.asarray(rng.standard_normal((b, o, zd)).astype(np.float32))
+
+    gen = Layout2ImGenerator(num_classes=8, fusion="convlstm")
+    variables = gen.init(jax.random.PRNGKey(0), images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1))
+    assert "clstm" in variables["params"]["layout_encoder"]
+    out, _ = gen.apply(
+        variables, images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1),
+        mutable=["batch_stats"],
+    )
+    assert out["img_rand"].shape == (b, 64, 64, 3)
+    assert np.isfinite(np.asarray(out["img_rand"])).all()
+
+
+def test_convlstm_pad_steps_keep_state(rng):
+    from layout2img_tpu.models.convlstm import LayoutConvLSTM
+
+    b, o, s, c = 2, 4, 8, 16
+    feats = jnp.asarray(rng.standard_normal((b, o, s, s, c)).astype(np.float32))
+    valid = jnp.asarray(np.array([[1, 1, 0, 0], [1, 1, 1, 1]], np.float32))
+    mod = LayoutConvLSTM((8, 8))
+    variables = mod.init(jax.random.PRNGKey(0), feats, valid)
+    out1 = mod.apply(variables, feats, valid)
+    # perturbing padded slots must not change the output of row 0
+    feats2 = feats.at[0, 2:].add(100.0)
+    out2 = mod.apply(variables, feats2, valid)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(out1[1]) - np.asarray(out2[1])).max() == 0  # row 1 untouched slots
+
+
+def test_ema(rng):
+    from layout2img_tpu.train.ema import ema_init, ema_update
+
+    p = {"a": jnp.ones(3), "b": jnp.zeros(2)}
+    ema = ema_init(p)
+    p2 = {"a": jnp.full(3, 2.0), "b": jnp.ones(2)}
+    ema = ema_update(ema, p2, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["a"]), 1.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema["b"]), 0.1, rtol=1e-6)
+
+
+def test_shard_host_local_batch_single_process(rng):
+    from layout2img_tpu.parallel.mesh import make_mesh, shard_host_local_batch
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    batch = {"x": rng.standard_normal((16, 4)).astype(np.float32)}
+    sharded = shard_host_local_batch(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
