@@ -56,8 +56,8 @@ class LayoutDiscriminator(fnn.Module):
 
         if s == 128:
             x = DiscOptimizedBlock(ch, downsample=True, name="block1")(images, us)  # 64
-            x1 = DiscResBlock(ch * 2, downsample=True, name="block2")(x, us)  # 32... (64px fm)
-            x2 = DiscResBlock(ch * 4, downsample=True, name="block3")(x1, us)  # 32px fm
+            x1 = DiscResBlock(ch * 2, downsample=True, name="block2")(x, us)  # 32x32 fm (scale 1/4)
+            x2 = DiscResBlock(ch * 4, downsample=True, name="block3")(x1, us)  # 16x16 fm (scale 1/8)
             x = DiscResBlock(ch * 8, downsample=True, name="block4")(x2, us)  # 16
             x = DiscResBlock(ch * 16, downsample=True, name="block5")(x, us)  # 8 -> 4
             x = DiscResBlock(ch * 16, downsample=False, name="block6")(x, us)
@@ -77,8 +77,8 @@ class LayoutDiscriminator(fnn.Module):
         elif s == 256:
             x = DiscOptimizedBlock(ch, downsample=True, name="block1")(images, us)
             x = DiscResBlock(ch * 2, downsample=True, name="block2")(x, us)
-            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 64px fm
-            x2 = DiscResBlock(ch * 8, downsample=True, name="block4")(x1, us)  # 32px fm
+            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/8)
+            x2 = DiscResBlock(ch * 8, downsample=True, name="block4")(x1, us)  # 16x16 fm (scale 1/16)
             x = DiscResBlock(ch * 8, downsample=True, name="block5")(x2, us)
             x = DiscResBlock(ch * 16, downsample=True, name="block6")(x, us)
             x = DiscResBlock(ch * 16, downsample=False, name="block7")(x, us)
@@ -98,7 +98,7 @@ class LayoutDiscriminator(fnn.Module):
         elif s == 64:
             x = DiscOptimizedBlock(ch, downsample=False, name="block1")(images, us)
             x = DiscResBlock(ch * 2, downsample=False, name="block2")(x, us)
-            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 32px fm
+            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/2)
             x = DiscResBlock(ch * 8, downsample=True, name="block4")(x1, us)
             x = DiscResBlock(ch * 16, downsample=True, name="block5")(x, us)
             feat = jnp.mean(fnn.relu(x), axis=(1, 2))

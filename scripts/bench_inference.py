@@ -1,0 +1,88 @@
+"""Generator-only inference benchmarks (BASELINE.md tracked configs 1-2).
+
+1. COCO 64x64 Ours-ED (fg/bg two-stream) generator inference, batch 8.
+2. VG 128x128 Ours-D (context + stage masks) generator inference, o=31.
+
+Run: python scripts/bench_inference.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+K = 20
+
+
+def bench(name, fn, args, batch):
+    def many(rngs):
+        def body(c, rng):
+            return c, fn(rng, *args)[0, 0, 0, 0]
+
+        return jax.lax.scan(body, 0, rngs)[1]
+
+    j = jax.jit(many)
+    rngs = jax.random.split(jax.random.PRNGKey(0), K)
+    out = j(rngs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = j(rngs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / K
+    print(f"{name}: {dt * 1000:7.2f} ms/batch  ({batch / dt:8.1f} img/s/chip)")
+
+
+def main():
+    from layout2img_tpu.models.generators import BgFgGenerator, make_generator
+
+    rng_np = np.random.default_rng(0)
+
+    # config 1: Ours-ED 64px fg/bg, batch 8, COCO (184 classes -> 91 fg / 93 bg)
+    b, o = 8, 8
+    gen = BgFgGenerator(num_fg_classes=91, num_bg_classes=93)
+    boxes = jnp.asarray((rng_np.random((b, o, 4)) * 0.4 + 0.1).astype(np.float32))
+    labels_f = jnp.asarray(rng_np.integers(1, 91, (b, o)).astype(np.int32))
+    labels_b = jnp.asarray(rng_np.integers(1, 93, (b, o)).astype(np.int32))
+    variables = jax.jit(gen.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, o, 128)), boxes, labels_f,
+        jnp.zeros((b, o, 128)), boxes, labels_b,
+        jnp.zeros((b, 128)), jnp.zeros((b, 128)),
+    )
+
+    def ed_sample(rng):
+        r = jax.random.split(rng, 4)
+        z_f = jax.random.truncated_normal(r[0], -2, 2, (b, o, 128))
+        z_b = jax.random.truncated_normal(r[1], -2, 2, (b, o, 128))
+        zi_f = jax.random.truncated_normal(r[2], -2, 2, (b, 128))
+        zi_b = jax.random.truncated_normal(r[3], -2, 2, (b, 128))
+        return gen.apply(variables, z_f, boxes, labels_f, z_b, boxes, labels_b,
+                         zi_f, zi_b, train=False, update_stats=False)
+
+    bench("Ours-ED 64px infer b8 ", ed_sample, (), b)
+
+    # config 2: Ours-D context 128px, VG (179 classes, 31 objects)
+    b2, o2 = 8, 31
+    gen2 = make_generator("ours_d_context128", 179)
+    boxes2 = jnp.asarray((rng_np.random((b2, o2, 4)) * 0.4 + 0.1).astype(np.float32))
+    labels2 = jnp.asarray(rng_np.integers(1, 179, (b2, o2)).astype(np.int32))
+    variables2 = jax.jit(gen2.init)(
+        jax.random.PRNGKey(0), jnp.zeros((b2, o2, 128)), boxes2, labels2, jnp.zeros((b2, 128))
+    )
+
+    def d_sample(rng):
+        r = jax.random.split(rng)
+        z = jax.random.truncated_normal(r[0], -2, 2, (b2, o2, 128))
+        zi = jax.random.truncated_normal(r[1], -2, 2, (b2, 128))
+        return gen2.apply(variables2, z, boxes2, labels2, zi, train=False, update_stats=False)
+
+    bench("Ours-D 128px VG infer b8", d_sample, (), b2)
+
+
+if __name__ == "__main__":
+    main()
