@@ -87,6 +87,11 @@ def main(argv=None):
     args = parse_args(argv)
     if args.model in ("ours_ed", "layout2im"):
         return main_special(args)
+    if args.model not in EXPERIMENTS:
+        raise SystemExit(
+            f"unknown --model '{args.model}'. Choices: "
+            f"{', '.join(sorted(EXPERIMENTS))}, ours_ed, layout2im"
+        )
     exp = EXPERIMENTS[args.model]
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
