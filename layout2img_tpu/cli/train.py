@@ -120,8 +120,16 @@ def main(argv=None):
         state = ckpt.restore(state)
         logger.info("resumed from step %d", int(state.step))
 
-    mesh = make_mesh()
-    n_dev = len(mesh.devices.ravel())
+    devices = jax.devices()
+    n_dev = len(devices)
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    if n_dev != len(devices):
+        logger.warning(
+            "batch %d not divisible by %d devices; using %d",
+            args.batch_size, len(devices), n_dev,
+        )
+    mesh = make_mesh(devices[:n_dev])
     logger.info("training %s on %s: %d device(s), batch %d", args.model, args.dataset, n_dev, args.batch_size)
     step_fn = jit_train_step(make_train_step(gen, disc, cfg, vgg_loss=vgg), mesh)
     state = replicate(mesh, state)

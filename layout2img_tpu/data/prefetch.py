@@ -1,0 +1,44 @@
+"""Device prefetcher: overlap host batch assembly + H2D transfer with the
+running step (the reference relies on torch DataLoader worker prefetch;
+here the handoff to device is also pipelined)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterable, Iterator
+
+import jax
+
+
+def device_prefetch(
+    iterable: Iterable[Any],
+    size: int = 2,
+    sharding: Any | None = None,
+) -> Iterator[Any]:
+    """Wrap a host batch iterator; batches are device_put in a background
+    thread `size` steps ahead. With a NamedSharding, batches land already
+    sharded over the mesh."""
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def worker():
+        try:
+            for batch in iterable:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
