@@ -27,7 +27,8 @@ def _build() -> str | None:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return None
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-funroll-loops", "-ffast-math",
+        "-shared", "-fPIC", "-std=c++17",
         "-o", _LIB, _SRC, "-ljpeg", "-lpthread",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)

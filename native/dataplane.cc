@@ -205,11 +205,21 @@ class ThreadPool {
 };
 
 ThreadPool* pool = nullptr;
+int pool_size = 0;
 std::mutex pool_mu;
 
 ThreadPool* get_pool(int threads) {
   std::lock_guard<std::mutex> lk(pool_mu);
-  if (!pool) pool = new ThreadPool(threads > 0 ? threads : 8);
+  int want = threads > 0 ? threads : int(std::thread::hardware_concurrency());
+  if (want < 1) want = 1;
+  if (pool && want > pool_size) {  // grow on demand
+    delete pool;
+    pool = nullptr;
+  }
+  if (!pool) {
+    pool = new ThreadPool(want);
+    pool_size = want;
+  }
   return pool;
 }
 
