@@ -132,6 +132,9 @@ def main(argv=None):
     mesh = make_mesh(devices[:n_dev])
     logger.info("training %s on %s: %d device(s), batch %d", args.model, args.dataset, n_dev, args.batch_size)
     step_fn = jit_train_step(make_train_step(gen, disc, cfg, vgg_loss=vgg), mesh)
+    from layout2img_tpu.train.step import make_sample_fn
+
+    sample_fn = jax.jit(make_sample_fn(gen, cfg))
     state = replicate(mesh, state)
 
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -153,16 +156,19 @@ def main(argv=None):
                 logger.info("epoch %d step %d: %s", epoch + 1, global_step,
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
+                # sample grid (reference logs real/fake grids every 500 steps)
+                host_state = jax.device_get(state)
+                fakes = sample_fn(host_state.g_params, host_state.g_state,
+                                  batch["boxes"], batch["labels"],
+                                  jax.random.PRNGKey(global_step))
+                writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
+                writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
         if (epoch + 1) % args.save_every_epochs == 0:
             ckpt.save(jax.device_get(state))
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
     ckpt.save(jax.device_get(state))
     writer.close()
     logger.info("done: %d steps", global_step)
-
-
-if __name__ == "__main__":
-    main()
 
 
 def main_special(args):
@@ -277,8 +283,13 @@ def main_special(args):
                 logger.info("epoch %d step %d: %s", epoch + 1, global_step,
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
+                writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
         if (epoch + 1) % args.save_every_epochs == 0:
             ckpt.save(jax.device_get(state))
     ckpt.save(jax.device_get(state))
     writer.close()
     logger.info("done: %d steps", global_step)
+
+
+if __name__ == "__main__":
+    main()
