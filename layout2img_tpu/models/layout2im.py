@@ -315,18 +315,31 @@ class Layout2ImGenerator(fnn.Module):
     obj_size: int = 32
     fusion: str = "transformer"  # or "convlstm" (upstream baseline)
 
-    @fnn.compact
+    def setup(self):
+        self.crop_encoder = CropEncoder(self.num_classes, z_dim=self.z_dim)
+        self.layout_encoder = LayoutEncoder(
+            self.num_classes, z_dim=self.z_dim,
+            embedding_dim=self.embedding_dim, fusion=self.fusion,
+        )
+        self.decoder = Decoder()
+
+    def sample(self, labels, boxes, masks, z_rand):
+        """Layout-to-image sampling (no input image): layout encoder +
+        decoder on random z — the reference's img_rand pathway
+        (generator_app.py:920-923) as a standalone inference entry.
+        Use via apply(..., method=Layout2ImGenerator.sample)."""
+        valid = (labels != 0).astype(jnp.float32)
+        h = self.layout_encoder(labels, masks, z_rand, valid, train=False, deterministic=True)
+        return self.decoder(h, train=False)
+
     def __call__(self, images, labels, boxes, masks, z_rand, rng, train: bool = True,
                  deterministic: bool = True):
         """images: (b, 64, 64, 3); labels: (b, o); boxes: (b, o, 4) xywh;
         masks: (b, o, 64, 64); z_rand: (b, o, z_dim)."""
         valid = (labels != 0).astype(jnp.float32)
-        crop_enc = CropEncoder(self.num_classes, z_dim=self.z_dim, name="crop_encoder")
-        layout_enc = LayoutEncoder(
-            self.num_classes, z_dim=self.z_dim,
-            embedding_dim=self.embedding_dim, fusion=self.fusion, name="layout_encoder",
-        )
-        decoder = Decoder(name="decoder")
+        crop_enc = self.crop_encoder
+        layout_enc = self.layout_encoder
+        decoder = self.decoder
 
         rng1, rng2 = jax.random.split(rng)
         crops_input = crop_boxes(images, boxes, self.obj_size)

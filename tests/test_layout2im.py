@@ -134,3 +134,20 @@ def test_transformer_decoder_shapes(rng):
     out = mod.apply(v, x)
     assert out.shape == (2, 64, 192)
     assert "query" in v["params"]  # learned query is a real parameter
+
+
+def test_layout2im_sample_method(rng):
+    from layout2img_tpu.models.layout2im import Layout2ImGenerator
+
+    b, o, zd = 1, 3, 8
+    images, labels, boxes, masks, z_rand = _inputs(rng, b, o, 10, zd)
+    gen = Layout2ImGenerator(num_classes=10)
+    variables = gen.init(
+        jax.random.PRNGKey(0), images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1)
+    )
+    img = gen.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        labels, boxes, masks, z_rand, method=Layout2ImGenerator.sample,
+    )
+    assert img.shape == (b, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
