@@ -76,7 +76,11 @@ def main():
 
         return jax.lax.scan(body, state, rngs)
 
-    jit_multi = jax.jit(multi_step, donate_argnums=(0,))
+    from layout2img_tpu.parallel.mesh import default_compiler_options
+
+    jit_multi = jax.jit(
+        multi_step, donate_argnums=(0,), compiler_options=default_compiler_options()
+    )
     rngs = jax.random.split(jax.random.PRNGKey(1), scan_len)
 
     log("compiling + warmup scan")
