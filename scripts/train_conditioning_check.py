@@ -103,7 +103,7 @@ def main():
 
     jchunk = jax.jit(chunk, donate_argnums=(0,))
     t0 = time.perf_counter()
-    for i in range(16):
+    for i in range(int(__import__('os').environ.get('COND_CHUNKS', '16'))):
         rngs = jax.random.split(jax.random.PRNGKey(100 + i), 50)
         state, (d_l, p_l) = jchunk(state, rngs, batches[i % len(batches)])
         if (i + 1) % 4 == 0:
@@ -113,6 +113,27 @@ def main():
                   f"({time.perf_counter() - t0:5.1f}s)")
     s1 = score(state)
     print(f"\ncolor-conditioning score: {s0:+.3f} -> {s1:+.3f}")
+
+    # visual artifact: target layouts vs generated, before/after
+    import os
+    os.makedirs("docs/images", exist_ok=True)
+    from layout2img_tpu.utils.logging import MetricWriter
+    from layout2img_tpu.cli.visualize import draw_boxes
+
+    img_after = np.asarray(sample(state.g_params, state.g_state, eval_batch["boxes"],
+                                  eval_batch["labels"], jax.random.PRNGKey(7)))
+    rows = []
+    tgt = np.asarray(eval_batch["images"])
+    for k in range(6):
+        rows.append(np.concatenate([
+            draw_boxes(tgt[k], np.asarray(eval_batch["boxes"][k]), np.asarray(eval_batch["labels"][k])),
+            np.clip(img_after[k] * 0.5 + 0.5, 0, 1),
+        ], axis=1))
+    grid = np.concatenate(rows, axis=0)
+    import PIL.Image
+    PIL.Image.fromarray((grid * 255).astype(np.uint8)).save(
+        "docs/images/conditioning_target_vs_generated.png")
+    print("wrote docs/images/conditioning_target_vs_generated.png")
     assert s1 > 0.5 and s1 > s0 + 0.3, "conditioning did not learn"
     print("CONDITIONING OK")
 
