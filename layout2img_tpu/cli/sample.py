@@ -50,23 +50,56 @@ def main(argv=None):
     from layout2img_tpu.train.step import make_sample_fn
 
     args = parse_args(argv)
-    exp = EXPERIMENTS[args.model]
     num_classes, num_objects = dataset_spec(args.dataset)
-
-    gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
-    disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
+    cfg = TrainConfig(use_vgg_loss=False)
 
     args.steps_per_epoch = 4
     loader = build_dataset(args, num_objects)
     if isinstance(loader, HostDataLoader):
         loader.shuffle = False
-
     example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
-    cfg = TrainConfig(use_vgg_loss=False)
-    state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
-    state = CheckpointManager(args.ckpt_dir).restore(state)
 
-    sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
+    if args.model == "layout2im":
+        from layout2img_tpu.models.layout2im import (
+            Layout2ImGenerator,
+            Layout2ImImageDiscriminator,
+            Layout2ImObjectDiscriminator,
+        )
+        from layout2img_tpu.ops.bbox import bbox_mask
+        from layout2img_tpu.train.step_layout2im import (
+            Layout2ImConfig,
+            create_layout2im_state,
+        )
+
+        gen = Layout2ImGenerator(num_classes=num_classes)
+        l2i_cfg = Layout2ImConfig()
+        state = create_layout2im_state(
+            jax.random.PRNGKey(0), gen,
+            Layout2ImImageDiscriminator(conv_dim=args.ch),
+            Layout2ImObjectDiscriminator(num_classes=num_classes, conv_dim=args.ch),
+            example, l2i_cfg,
+        )
+        state = CheckpointManager(args.ckpt_dir).restore(state)
+
+        def sample(g_params, g_state, boxes, labels, rng):
+            b, o = labels.shape
+            z = jax.random.truncated_normal(
+                rng, -args.truncation, args.truncation, (b, o, l2i_cfg.z_dim)
+            )
+            masks = bbox_mask(boxes, 64, 64)
+            return gen.apply(
+                {"params": g_params, **g_state}, labels, boxes, masks, z,
+                method=Layout2ImGenerator.sample,
+            )
+
+        sample = jax.jit(sample)
+    else:
+        exp = EXPERIMENTS[args.model]
+        gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
+        disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
+        state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
+        state = CheckpointManager(args.ckpt_dir).restore(state)
+        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
     os.makedirs(args.sample_path, exist_ok=True)
 
     rng = jax.random.PRNGKey(args.seed)

@@ -176,6 +176,7 @@ def main_special(args):
     from layout2img_tpu.cli.presets import dataset_spec
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
+    args.img_size = 64  # both special families are 64px models
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
     logger = setup_logger("layout2img_tpu", out_dir)
@@ -192,7 +193,6 @@ def main_special(args):
         from layout2img_tpu.train.state import GANTrainState, TrainConfig
         from layout2img_tpu.train.step_bgfg import make_bgfg_train_step
 
-        args.img_size = 64
         args.fg_bg = True
         loader = build_dataset(args, num_objects)
 
@@ -253,7 +253,6 @@ def main_special(args):
             make_layout2im_train_step,
         )
 
-        args.img_size = 64
         loader = build_dataset(args, num_objects)
         gen = Layout2ImGenerator(num_classes=num_classes)
         d_img = Layout2ImImageDiscriminator(conv_dim=args.ch)
