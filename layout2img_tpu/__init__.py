@@ -21,3 +21,26 @@ reference is replaced by an idiomatic XLA/TPU formulation:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import time)."""
+    _exports = {
+        "make_generator": ("layout2img_tpu.models.generators", "make_generator"),
+        "LostGANGenerator": ("layout2img_tpu.models.generators", "LostGANGenerator"),
+        "BgFgGenerator": ("layout2img_tpu.models.generators", "BgFgGenerator"),
+        "make_discriminator": ("layout2img_tpu.models.discriminators", "make_discriminator"),
+        "LayoutDiscriminator": ("layout2img_tpu.models.discriminators", "LayoutDiscriminator"),
+        "Layout2ImGenerator": ("layout2img_tpu.models.layout2im", "Layout2ImGenerator"),
+        "TrainConfig": ("layout2img_tpu.train.state", "TrainConfig"),
+        "create_train_state": ("layout2img_tpu.train.state", "create_train_state"),
+        "make_train_step": ("layout2img_tpu.train.step", "make_train_step"),
+        "make_sample_fn": ("layout2img_tpu.train.step", "make_sample_fn"),
+        "CheckpointManager": ("layout2img_tpu.train.checkpoint", "CheckpointManager"),
+    }
+    if name in _exports:
+        import importlib
+
+        mod, attr = _exports[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -123,3 +123,40 @@ def test_cli_train_smoke_synthetic(tmp_path):
     root = tmp_path / "synthetic" / "64" / "lostgan"
     assert (root / "metrics.jsonl").exists()
     assert (root / "ckpt").exists() and os.listdir(root / "ckpt")
+
+
+def test_top_level_api():
+    import layout2img_tpu as l2i
+
+    gen = l2i.make_generator("lostgan64", 10, ch=4)
+    assert gen.num_classes == 10
+    assert l2i.TrainConfig().z_dim == 128
+
+
+def test_batched_d_pass_scores_identical(rng):
+    """Concatenating real+fake into one D pass must give identical scores to
+    two passes (no cross-sample coupling in the D) — the basis for the
+    fused-D train-step optimization."""
+    from layout2img_tpu.models.discriminators import LayoutDiscriminator
+
+    b, o = 2, 4
+    disc = LayoutDiscriminator(num_classes=10, image_size=64, ch=4)
+    imgs_r = jnp.asarray(rng.standard_normal((b, 64, 64, 3)).astype(np.float32))
+    imgs_f = jnp.asarray(rng.standard_normal((b, 64, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray((rng.random((b, o, 4)) * 0.4 + 0.1).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, 10, (b, o)).astype(np.int32))
+    variables = disc.init(jax.random.PRNGKey(0), imgs_r, boxes, labels)
+
+    out_r = disc.apply(variables, imgs_r, boxes, labels, update_stats=False)
+    out_f = disc.apply(variables, imgs_f, boxes, labels, update_stats=False)
+    both = disc.apply(
+        variables,
+        jnp.concatenate([imgs_r, imgs_f]),
+        jnp.concatenate([boxes, boxes]),
+        jnp.concatenate([labels, labels]),
+        update_stats=False,
+    )
+    np.testing.assert_allclose(np.asarray(both["image"][:b]), np.asarray(out_r["image"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(both["image"][b:]), np.asarray(out_f["image"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(both["object"][:b]), np.asarray(out_r["object"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(both["object"][b:]), np.asarray(out_f["object"]), rtol=2e-5, atol=2e-5)
