@@ -35,6 +35,14 @@ class BoxMultiHeadedAttention(fnn.Module):
     trignometric: bool = True
     use_geometry: bool = True
     dropout_rate: float = 0.0
+    # Reference behavior quirk (resnet_generator_app_v2.py:197-198): the
+    # heads-concat `x.transpose(1, 2).view(b, -1, h*d_k)` is applied to an
+    # (h*b, o, d_k) tensor; for h=1 this reinterprets the transposed (d, o)
+    # matrix row-major — a fixed scramble permutation of the attention
+    # output before the residual. Trained reference checkpoints depend on
+    # it, so it is on by default for h=1 (verified by the full-forward
+    # parity test against the reference implementation).
+    legacy_view: bool = True
 
     @fnn.compact
     def __call__(
@@ -75,7 +83,11 @@ class BoxMultiHeadedAttention(fnn.Module):
         attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, o, self.d_model)
+        if self.legacy_view and h == 1:
+            # reference scramble: (b, o, d) -> transpose -> row-major reshape
+            out = out[:, 0].transpose(0, 2, 1).reshape(b, o, self.d_model)
+        else:
+            out = out.transpose(0, 2, 1, 3).reshape(b, o, self.d_model)
 
         out = fnn.LayerNorm(epsilon=1e-5, name="ln0")(out + residual)
         inner = out

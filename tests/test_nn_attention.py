@@ -40,6 +40,10 @@ def _torch_box_attention(params, w_in, boxes, labels):
     scaled = scaled.masked_fill(~mask, -1e9)
     w_mn = torch.softmax(torch.log(torch.clamp(w_g, min=1e-6)) + scaled, dim=-1)
     out = w_mn @ v
+    # reference h=1 heads-concat quirk: transpose + row-major reinterpret
+    # (resnet_generator_app_v2.py:197-198) — a fixed scramble permutation
+    b, o, d = out.shape
+    out = out.transpose(1, 2).contiguous().view(b, o, d)
 
     out = layer_norm("ln0", out + residual)
     inner = out
