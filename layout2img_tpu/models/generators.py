@@ -71,7 +71,8 @@ class LostGANGenerator(fnn.Module):
     stage_masks: bool = False  # alpha-gated per-stage semantic masks (v2)
     mask_trunk: str = "v2"  # "v1" (BN/128ch) | "v2" (IN/256ch)
     num_mask_classes: int = 184
-    map_size: int = 64  # mask-regression canvas (128 for the 256px model)
+    map_size: int = 64  # mask-regression splat canvas
+    hard_mask_size: int = 0  # bbox occupancy canvas; 0 == map_size (256px model: 128)
     rgb_head: bool = True  # False == "_nf" feature-only variant
     parts: int = 1  # 3 == part-mask variant (resnet_generator_part.py:722-809)
 
@@ -120,7 +121,8 @@ class LostGANGenerator(fnn.Module):
         x = x.reshape(b, 16 * self.ch, 4, 4).transpose(0, 2, 3, 1)  # NHWC
 
         if self.stage_masks:
-            hard = bbox_mask(boxes, self.map_size, self.map_size)  # (b, o, map, map)
+            hs = self.hard_mask_size or self.map_size
+            hard = bbox_mask(boxes, hs, hs)  # (b, o, hs, hs)
             onehot = jax.nn.one_hot(labels, self.num_mask_classes, dtype=x.dtype)
             stage_bbox = bmask
             for i, out_mult in enumerate(out_mults):
@@ -263,7 +265,9 @@ _GENERATOR_PRESETS: dict[str, dict[str, Any]] = {
     # train_context_part.py (3-part masks, resnet_generator_part.py:722-809)
     "context128_part": dict(image_size=128, context="attention", mask_trunk="v1", parts=3),
     # 256px variant (resnet_generator_app_v2.py:509)
-    "ours_d_base256": dict(image_size=256, stage_masks=True, map_size=128),
+    # 256px: mask-regress canvas stays 64 (reference MaskRegressNetv2 default,
+    # resnet_generator_app_v2.py:541) while the hard occupancy mask is 128 (:562)
+    "ours_d_base256": dict(image_size=256, stage_masks=True, hard_mask_size=128),
 }
 
 

@@ -41,7 +41,7 @@ def reference_modules():
     return torch, mod
 
 
-def _run_pair(torch, net, preset, num_classes, rng, atol):
+def _run_pair(torch, net, preset, num_classes, rng, atol, gen_kwargs=None):
     from layout2img_tpu.models.generators import make_generator
     from layout2img_tpu.utils.torch_import import import_lostgan_generator
 
@@ -61,7 +61,7 @@ def _run_pair(torch, net, preset, num_classes, rng, atol):
                    torch.from_numpy(z_im), torch.from_numpy(y)).numpy()
 
     variables = import_lostgan_generator(net.state_dict())
-    gen = make_generator(preset, num_classes)
+    gen = make_generator(preset, num_classes, **(gen_kwargs or {}))
     got = gen.apply(
         variables, jnp.asarray(z), jnp.asarray(bbox), jnp.asarray(y.astype(np.int32)),
         jnp.asarray(z_im), train=False, update_stats=False,
@@ -119,3 +119,23 @@ def test_full_forward_parity_lostgan_v1(reference_modules, rng):
     m = importlib.import_module("model.resnet_generator_v1")
     net = m.ResnetGenerator128(num_classes=10)
     _run_pair(torch, net, "lostgan128", 10, rng, atol=2e-3)
+
+
+def test_full_forward_parity_256(reference_modules, rng):
+    """ResnetGenerator256 — reference resnet_generator_app_v2.py:509."""
+    torch, mod = reference_modules
+    net = mod.ResnetGenerator256(num_classes=10, ch=16)
+    from layout2img_tpu.models.generators import make_generator  # noqa: F401
+
+    _run_pair(torch, net, "ours_d_base256", 10, rng, atol=2e-3, gen_kwargs={"ch": 16})
+
+
+def test_full_forward_parity_nogeo(reference_modules, rng):
+    """No-geometry ablation — reference resnet_generator_vg.py:639
+    (w_mn = w_a: content-only attention)."""
+    torch, _ = reference_modules
+    import importlib
+
+    m = importlib.import_module("model.resnet_generator_vg")
+    net = m.context_aware_generator(num_classes=10)
+    _run_pair(torch, net, "context128_nogeo", 10, rng, atol=2e-3)
