@@ -187,3 +187,62 @@ def import_lostgan_generator(state_dict: dict[str, Any]) -> dict:
 
     to_jnp = lambda t: __import__("jax").tree_util.tree_map(jnp.asarray, t)
     return {"params": to_jnp(params), "batch_stats": to_jnp(stats), "spectral": to_jnp(spectral)}
+
+
+def import_bgfg_generator(state_dict: dict[str, Any]) -> dict:
+    """Import a reference ``background_foreground_generator`` checkpoint
+    (Ours-ED, ``resnet_generator_v1.py:358-380``) into BgFgGenerator trees.
+
+    Structure: two feature-only v1 generators (``background_g.*`` /
+    ``foreground_g.*``), the ResBlock_1 fusion (``combination.*`` — note
+    torch dedupes the Sequential aliases of conv1/conv2, so the BNs live at
+    ``combination.model.0`` / ``combination.model.3``), and the RGB head.
+    """
+    sd = {
+        k.removeprefix("module."): np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+        for k, v in state_dict.items()
+    }
+    consumed: set[str] = set()
+    params: dict = {}
+    stats: dict = {}
+    spectral: dict = {}
+
+    for stream in ("background_g", "foreground_g"):
+        sub = {k[len(stream) + 1:]: v for k, v in sd.items() if k.startswith(stream + ".")}
+        consumed.update(stream + "." + k for k in sub)
+        trees = import_lostgan_generator(sub)
+        params[stream] = trees["params"]
+        stats[stream] = trees["batch_stats"]
+        spectral[stream] = trees["spectral"]
+
+    # combination (ResBlock_1): bn1<-model.0, conv1, bn2<-model.3, conv2,
+    # bn_sc<-bn, conv3
+    for t_name, mine in (
+        ("combination.model.0", ("combination", "bn1")),
+        ("combination.model.3", ("combination", "bn2")),
+        ("combination.bn", ("combination", "bn_sc")),
+    ):
+        _bn(sd, consumed, t_name, params, stats, mine)
+    for t_name, mine in (
+        ("combination.conv1", ("combination", "conv1")),
+        ("combination.conv2", ("combination", "conv2")),
+        ("combination.conv3", ("combination", "conv3")),
+    ):
+        _conv(sd, consumed, t_name, params, spectral, mine, sn=False)
+
+    # Sequential aliases of conv1/conv2 inside ResBlock_1 (same tensors)
+    for alias in ("combination.model.2", "combination.model.5"):
+        for kind in ("weight", "bias"):
+            if f"{alias}.{kind}" in sd:
+                consumed.add(f"{alias}.{kind}")
+
+    _bn(sd, consumed, "final.0", params, stats, ("final_bn",))
+    _conv(sd, consumed, "final.2", params, spectral, ("final_conv",), sn=True)
+
+    leftovers = set(sd) - consumed
+    if leftovers:
+        raise ValueError(f"unmapped torch keys: {sorted(leftovers)[:10]}")
+    import jax.numpy as jnp
+
+    to_jnp = lambda t: __import__("jax").tree_util.tree_map(jnp.asarray, t)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats), "spectral": to_jnp(spectral)}

@@ -139,3 +139,53 @@ def test_full_forward_parity_nogeo(reference_modules, rng):
     m = importlib.import_module("model.resnet_generator_vg")
     net = m.context_aware_generator(num_classes=10)
     _run_pair(torch, net, "context128_nogeo", 10, rng, atol=2e-3)
+
+
+def test_full_forward_parity_bgfg(reference_modules, rng):
+    """Ours-ED background/foreground generator — reference
+    resnet_generator_v1.py:358-380. The reference wrapper draws z_im
+    internally, so the comparison drives its sub-generators with explicit
+    z_im and composes combination+final manually (same math)."""
+    torch, _ = reference_modules
+    import importlib
+
+    m = importlib.import_module("model.resnet_generator_v1")
+    net = m.background_foreground_generator(background_cla=6, foreground_cla=5)
+
+    from layout2img_tpu.models.generators import BgFgGenerator
+    from layout2img_tpu.utils.torch_import import import_bgfg_generator
+
+    b, o = 2, 4
+    z_f = rng.standard_normal((b, o, 128)).astype(np.float32)
+    z_b = rng.standard_normal((b, o, 128)).astype(np.float32)
+    bx_f = (rng.random((b, o, 4)) * 0.4 + 0.1).astype(np.float32)
+    bx_b = (rng.random((b, o, 4)) * 0.4 + 0.1).astype(np.float32)
+    y_f = rng.integers(1, 5, (b, o))
+    y_b = rng.integers(1, 6, (b, o))
+    zi_f = rng.standard_normal((b, 128)).astype(np.float32)
+    zi_b = rng.standard_normal((b, 128)).astype(np.float32)
+
+    t = lambda x: torch.from_numpy(x)
+    net.train()
+    with torch.no_grad():  # settle spectral u/v + BN stats
+        bg = net.background_g(t(z_b), t(bx_b.copy()), z_im=t(zi_b), y=t(y_b))
+        fg = net.foreground_g(t(z_f), t(bx_f.copy()), z_im=t(zi_f), y=t(y_f))
+        net.final(net.combination(torch.cat([bg, fg], 1)))
+    net.eval()
+    with torch.no_grad():
+        bg = net.background_g(t(z_b), t(bx_b.copy()), z_im=t(zi_b), y=t(y_b))
+        fg = net.foreground_g(t(z_f), t(bx_f.copy()), z_im=t(zi_f), y=t(y_f))
+        want = net.final(net.combination(torch.cat([bg, fg], 1))).numpy()
+
+    variables = import_bgfg_generator(net.state_dict())
+    gen = BgFgGenerator(num_fg_classes=5, num_bg_classes=6)
+    got = gen.apply(
+        variables,
+        jnp.asarray(z_f), jnp.asarray(bx_f), jnp.asarray(y_f.astype(np.int32)),
+        jnp.asarray(z_b), jnp.asarray(bx_b), jnp.asarray(y_b.astype(np.int32)),
+        jnp.asarray(zi_f), jnp.asarray(zi_b),
+        train=False, update_stats=False,
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    diff = np.abs(got - want)
+    assert diff.max() < 2e-3, (diff.max(), diff.mean())
