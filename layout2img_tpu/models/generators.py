@@ -75,6 +75,9 @@ class LostGANGenerator(fnn.Module):
     hard_mask_size: int = 0  # bbox occupancy canvas; 0 == map_size (256px model: 128)
     rgb_head: bool = True  # False == "_nf" feature-only variant
     parts: int = 1  # 3 == part-mask variant (resnet_generator_part.py:722-809)
+    # True reproduces the reference's h=1 attention-concat scramble — needed
+    # when running imported reference checkpoints (see nn/attention.py)
+    legacy_attention: bool = False
 
     @fnn.compact
     def __call__(
@@ -99,6 +102,7 @@ class LostGANGenerator(fnn.Module):
                 d_model=num_w,
                 use_geometry=self.use_geometry,
                 dropout_rate=0.0,
+                legacy_view=self.legacy_attention,
                 name="context",
             )(w, w, w, boxes, labels, deterministic=deterministic)
         elif self.context == "graph":

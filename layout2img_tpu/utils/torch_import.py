@@ -2,9 +2,14 @@
 
 Imports reference ``.pth`` generator state_dicts (the artifacts the
 reference's test scripts load, e.g. ``test_app.py:49-64``) into this
-framework's param/batch_stats/spectral trees — and exports back. Covers the
-unified ``LostGANGenerator`` layouts: v1, v2 stage-mask, context, nogeo,
-graph, 64/128/256.
+framework's param/batch_stats/spectral trees — and exports back.
+
+Covers the unified ``LostGANGenerator`` layouts: v1, v2 stage-mask,
+context, nogeo, graph, 64/128/256.
+
+IMPORTANT: construct generators with ``legacy_attention=True`` when running
+imported reference weights — the reference's attention output is scrambled
+by a layout bug its checkpoints were trained with (see nn/attention.py).
 
 Tensor conventions:
 - Linear weight (out, in)      -> kernel (in, out)

@@ -61,7 +61,7 @@ def test_box_attention_matches_reference(rng):
     labels = rng.integers(0, 10, (b, o)).astype(np.int32)
     labels[:, -2:] = 0  # padded slots
 
-    mod = BoxMultiHeadedAttention(heads=1, d_model=d, dropout_rate=0.0)
+    mod = BoxMultiHeadedAttention(heads=1, d_model=d, dropout_rate=0.0, legacy_view=True)
     variables = mod.init(
         jax.random.PRNGKey(0), jnp.asarray(w_in), jnp.asarray(w_in), jnp.asarray(w_in),
         jnp.asarray(boxes), jnp.asarray(labels),

@@ -61,7 +61,9 @@ def _run_pair(torch, net, preset, num_classes, rng, atol, gen_kwargs=None):
                    torch.from_numpy(z_im), torch.from_numpy(y)).numpy()
 
     variables = import_lostgan_generator(net.state_dict())
-    gen = make_generator(preset, num_classes, **(gen_kwargs or {}))
+    kwargs = dict(gen_kwargs or {})
+    kwargs.setdefault("legacy_attention", True)  # reference checkpoints need the scramble
+    gen = make_generator(preset, num_classes, **kwargs)
     got = gen.apply(
         variables, jnp.asarray(z), jnp.asarray(bbox), jnp.asarray(y.astype(np.int32)),
         jnp.asarray(z_im), train=False, update_stats=False,
