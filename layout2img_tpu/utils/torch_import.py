@@ -251,3 +251,53 @@ def import_bgfg_generator(state_dict: dict[str, Any]) -> dict:
 
     to_jnp = lambda t: __import__("jax").tree_util.tree_map(jnp.asarray, t)
     return {"params": to_jnp(params), "batch_stats": to_jnp(stats), "spectral": to_jnp(spectral)}
+
+
+def import_lostgan_discriminator(state_dict: dict[str, Any]) -> dict:
+    """Import a reference ``CombineDiscriminator{64,128,128_app,256}``
+    state_dict (``rcnn_discriminator_app.py:347-444``; inner module under
+    ``obD.``) into LayoutDiscriminator trees."""
+    sd = {
+        k.removeprefix("module.").removeprefix("obD."): np.asarray(
+            v.numpy() if hasattr(v, "numpy") else v
+        )
+        for k, v in state_dict.items()
+    }
+    consumed: set[str] = set()
+    params: dict = {}
+    stats: dict = {}
+    spectral: dict = {}
+
+    def conv_block(torch_name, mine):
+        for sub in ("conv1", "conv2"):
+            _conv(sd, consumed, f"{torch_name}.{sub}", params, spectral, (mine, sub), sn=True)
+        if f"{torch_name}.c_sc.weight_orig" in sd:
+            _conv(sd, consumed, f"{torch_name}.c_sc", params, spectral, (mine, "c_sc"), sn=True)
+
+    def sn_embed(torch_name, mine):
+        _set(params, (mine, "embedding"), sd[f"{torch_name}.weight_orig"])
+        _set(spectral, (mine, "u"), sd[f"{torch_name}.weight_u"])
+        consumed.update({f"{torch_name}.weight_orig", f"{torch_name}.weight_u"})
+        if f"{torch_name}.weight_v" in sd:
+            consumed.add(f"{torch_name}.weight_v")
+
+    for key in sorted({k.split(".")[0] for k in sd}):
+        if key.startswith("block"):  # block1..7, block_obj3..6
+            conv_block(key, key)
+        elif key in ("l7", "l8", "l_im", "l_obj", "app"):
+            mine = key
+            _linear(sd, consumed, key, params, spectral, (mine,), sn=True)
+        elif key in ("l_y", "l_y_app"):
+            sn_embed(key, key)
+        elif key == "app_conv":
+            conv_block(key, key)
+        else:
+            raise ValueError(f"unknown discriminator component: {key}")
+
+    leftovers = set(sd) - consumed
+    if leftovers:
+        raise ValueError(f"unmapped torch keys: {sorted(leftovers)[:10]}")
+    import jax.numpy as jnp
+
+    to_jnp = lambda t: __import__("jax").tree_util.tree_map(jnp.asarray, t)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats), "spectral": to_jnp(spectral)}

@@ -1,0 +1,163 @@
+"""Full-forward numerical parity for the discriminator vs the ACTUAL
+reference implementation (model/rcnn_discriminator_app.py).
+
+torchvision is absent in the sandbox, so a pure-torch RoIAlign polyfill
+(matching torchvision's aligned=False algorithm, fixed sampling_ratio=2 to
+match ops/roi.py) is injected before importing the reference module. The
+comparison covers the image head, the dual-scale ROI object head with the
+projection term, and the Gram appearance head, with weights transferred by
+the D importer. Padded objects are excluded on our side via the validity
+mask (the reference filters label != 0 dynamically).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "model")), reason="reference repo not available"
+)
+
+
+@pytest.fixture(scope="module")
+def reference_disc_module():
+    import torch
+    import torch.nn as nn
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    class RoIAlignPolyfill(nn.Module):
+        """torchvision.ops.RoIAlign (aligned=False) in pure torch, with
+        sampling_ratio forced to 2 (static, matching layout2img_tpu.ops.roi)."""
+
+        def __init__(self, output_size, spatial_scale, sampling_ratio):
+            super().__init__()
+            self.out = output_size[0] if isinstance(output_size, tuple) else output_size
+            self.scale = spatial_scale
+            self.sr = 2
+
+        def forward(self, feats, rois):
+            n = rois.shape[0]
+            _, c, h, w = feats.shape
+            out = feats.new_zeros((n, c, self.out, self.out))
+
+            def tap(fm, y, x):
+                if y < -1.0 or y > h or x < -1.0 or x > w:
+                    return fm.new_zeros(c)
+                y = min(max(float(y), 0.0), h - 1)
+                x = min(max(float(x), 0.0), w - 1)
+                y0, x0 = int(np.floor(y)), int(np.floor(x))
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                ly, lx = y - y0, x - x0
+                return (fm[:, y0, x0] * (1 - ly) * (1 - lx) + fm[:, y0, x1] * (1 - ly) * lx
+                        + fm[:, y1, x0] * ly * (1 - lx) + fm[:, y1, x1] * ly * lx)
+
+            for i in range(n):
+                idx = int(rois[i, 0])
+                x0, y0, x1, y1 = (rois[i, 1:] * self.scale).tolist()
+                rw, rh = max(x1 - x0, 1.0), max(y1 - y0, 1.0)
+                bw, bh = rw / self.out, rh / self.out
+                for by in range(self.out):
+                    for bx in range(self.out):
+                        acc = feats.new_zeros(c)
+                        for py in range(self.sr):
+                            for px in range(self.sr):
+                                acc = acc + tap(
+                                    feats[idx],
+                                    y0 + (by + (py + 0.5) / self.sr) * bh,
+                                    x0 + (bx + (px + 0.5) / self.sr) * bw,
+                                )
+                        out[i, :, by, bx] = acc / (self.sr * self.sr)
+            return out
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    models = types.ModuleType("torchvision.models")
+    ops.RoIAlign = RoIAlignPolyfill
+    ops.RoIPool = RoIAlignPolyfill
+    models.vgg19 = None  # utils.util imports `models`; Vgg19 class unused here
+    tv.ops = ops
+    tv.models = models
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", ops)
+    sys.modules.setdefault("torchvision.models", models)
+    sys.path.insert(0, REF)
+    import importlib
+
+    mod = importlib.import_module("model.rcnn_discriminator_app")
+    return torch, mod
+
+
+def test_full_forward_parity_d128_app(reference_disc_module, rng):
+    torch, mod = reference_disc_module
+    from layout2img_tpu.models.discriminators import LayoutDiscriminator
+    from layout2img_tpu.utils.torch_import import import_lostgan_discriminator
+
+    num_classes, b, o = 10, 2, 6
+    net = mod.CombineDiscriminator128_app(num_classes=num_classes)
+    net.eval()
+
+    images = rng.standard_normal((b, 3, 128, 128)).astype(np.float32)
+    # mix of small (<64px) and large boxes, plus one pad slot per image
+    xy = rng.random((b, o, 2)).astype(np.float32) * 0.4
+    wh = np.concatenate(
+        [rng.random((b, o // 2, 2)) * 0.3 + 0.05, rng.random((b, o - o // 2, 2)) * 0.3 + 0.55],
+        axis=1,
+    ).astype(np.float32)
+    boxes = np.concatenate([xy, wh], -1)
+    labels = rng.integers(1, num_classes, (b, o))
+    labels[:, -1] = 0
+    boxes[:, -1] = (-0.6, -0.6, 0.5, 0.5)
+
+    # settle spectral-norm u/v: the D is not orthogonally initialized, so the
+    # power iteration needs several steps before torch's stored-(u,v) sigma
+    # and our recomputed-v sigma agree
+    net.train()
+    with torch.no_grad():
+        for _ in range(30):
+            net(torch.from_numpy(images), torch.from_numpy(boxes.copy()), torch.from_numpy(labels))
+    net.eval()
+    with torch.no_grad():
+        d_img, d_obj, d_app = net(
+            torch.from_numpy(images), torch.from_numpy(boxes.copy()), torch.from_numpy(labels)
+        )
+
+    variables = import_lostgan_discriminator(net.state_dict())
+    disc = LayoutDiscriminator(num_classes=num_classes, image_size=128, app_head=True)
+    out = disc.apply(
+        variables, jnp.asarray(images.transpose(0, 2, 3, 1)), jnp.asarray(boxes),
+        jnp.asarray(labels.astype(np.int32)), update_stats=False,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["image"])[:, 0], d_img.numpy()[:, 0], rtol=1e-3, atol=2e-2
+    )
+    # reference returns valid objects ordered [large..., small...] per its
+    # routing; ours keeps (b, o) slots — compare as multisets per image is
+    # overkill: rebuild the reference's ordering explicitly
+    # reference order: flat (b*o) filtered by label != 0, then all large
+    # boxes first, then all small (rcnn_discriminator_app.py:131-146)
+    s_thresh = 64.0
+    flat = [(i, j) for i in range(b) for j in range(o) if labels[i, j] != 0]
+    is_small = []
+    for (i, j) in flat:
+        x0, y0, bw, bh = boxes[i, j] * 128
+        is_small.append(bw < s_thresh and bh < s_thresh)
+    ref_order = [p for p, s in zip(flat, is_small) if not s] + [
+        p for p, s in zip(flat, is_small) if s
+    ]
+    ours_obj = np.asarray(out["object"])
+    ours_app = np.asarray(out["app"])
+    want_obj = d_obj.numpy()[:, 0]
+    want_app = d_app.numpy()[:, 0]
+    assert len(ref_order) == want_obj.shape[0]
+    for k, (i, j) in enumerate(ref_order):
+        np.testing.assert_allclose(ours_obj[i, j], want_obj[k], rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(ours_app[i, j], want_app[k], rtol=1e-3, atol=2e-2)
