@@ -19,7 +19,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="context_app_v2")
     p.add_argument("--dataset", default="coco", choices=["coco", "vg", "synthetic"])
-    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--ckpt_dir", default="", help="orbax checkpoint dir")
+    p.add_argument("--torch_ckpt", default="", help="reference .pth generator checkpoint")
     p.add_argument("--sample_path", default="./samples")
     p.add_argument("--num_img", type=int, default=5)
     p.add_argument("--img_size", type=int, default=128)
@@ -60,6 +61,8 @@ def main(argv=None):
     example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
 
     if args.model == "layout2im":
+        if not args.ckpt_dir:
+            raise SystemExit("layout2im sampling requires --ckpt_dir")
         from layout2img_tpu.models.layout2im import (
             Layout2ImGenerator,
             Layout2ImImageDiscriminator,
@@ -93,7 +96,27 @@ def main(argv=None):
             )
 
         sample = jax.jit(sample)
+    elif args.torch_ckpt:
+        # run a reference .pth directly: legacy_attention reproduces the
+        # reference's attention-concat scramble its checkpoints need
+        import torch
+
+        from layout2img_tpu.utils.torch_import import import_lostgan_generator
+
+        exp = EXPERIMENTS[args.model]
+        gen = make_generator(exp.gen_preset, num_classes, ch=args.ch,
+                             image_size=args.img_size, legacy_attention=True)
+        variables = import_lostgan_generator(torch.load(args.torch_ckpt, map_location="cpu"))
+
+        class _GState:
+            g_params = variables["params"]
+            g_state = {k: v for k, v in variables.items() if k != "params"}
+
+        state = _GState()
+        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
     else:
+        if not args.ckpt_dir:
+            raise SystemExit("provide --ckpt_dir or --torch_ckpt")
         exp = EXPERIMENTS[args.model]
         gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
         disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
