@@ -46,7 +46,7 @@ def main():
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     scan_len = int(os.environ.get("BENCH_SCAN", "10"))
     n_scans = int(os.environ.get("BENCH_SCANS", "3"))
     num_classes, num_obj, size = 184, 8, 128

@@ -191,3 +191,14 @@ def test_full_forward_parity_bgfg(reference_modules, rng):
     got = np.asarray(got).transpose(0, 3, 1, 2)
     diff = np.abs(got - want)
     assert diff.max() < 2e-3, (diff.max(), diff.mean())
+
+
+def test_full_forward_parity_part(reference_modules, rng):
+    """3-part-mask variant — reference resnet_generator_part.py:722-809
+    (part mask regression + summed part-modulation ISLA norm)."""
+    torch, _ = reference_modules
+    import importlib
+
+    m = importlib.import_module("model.resnet_generator_part")
+    net = m.context_aware_generator_part(num_classes=10)
+    _run_pair(torch, net, "context128_part", 10, rng, atol=2e-3)
