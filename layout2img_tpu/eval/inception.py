@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
@@ -160,7 +159,6 @@ class InceptionV3(fnn.Module):
 
 def load_torch_inception_v3(path: str) -> Any:
     """Convert a torchvision inception_v3 state_dict to this module's params."""
-    import numpy as np
     import torch
 
     sd = torch.load(path, map_location="cpu")

@@ -77,7 +77,6 @@ def load_torch_vgg19_features(path: str) -> Any:
 
     torch conv weights are (out, in, kh, kw); flax wants (kh, kw, in, out).
     """
-    import numpy as np
     import torch
 
     sd = torch.load(path, map_location="cpu")

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from layout2img_tpu.nn.blocks import DiscOptimizedBlock, DiscResBlock
-from layout2img_tpu.nn.spectral import SNConv, SNDense, SNEmbed
+from layout2img_tpu.nn.spectral import SNDense, SNEmbed
 from layout2img_tpu.ops.bbox import xywh_to_xyxy
 from layout2img_tpu.ops.roi import dual_scale_roi_align, roi_align
 

@@ -33,8 +33,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn

@@ -18,11 +18,7 @@ from flax import linen as fnn
 
 from layout2img_tpu.nn.norms import SpatialAdaptiveNorm, SyncBatchNorm
 from layout2img_tpu.nn.spectral import SNConv
-from layout2img_tpu.ops.interp import (
-    adaptive_avg_pool2d_nhwc,
-    resize_bilinear_nhwc,
-    resize_nearest_nhwc,
-)
+from layout2img_tpu.ops.interp import adaptive_avg_pool2d_nhwc, resize_bilinear_nhwc
 
 
 def upsample2x_nearest(x: jax.Array) -> jax.Array:

@@ -18,8 +18,6 @@ Forward is Pallas; the backward is expressed with einsums under
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

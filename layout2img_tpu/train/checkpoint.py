@@ -11,9 +11,6 @@ step counter) round-trips atomically, with keep-last-N retention.
 from __future__ import annotations
 
 import os
-from typing import Any
-
-import jax
 import orbax.checkpoint as ocp
 
 from layout2img_tpu.train.state import GANTrainState

@@ -20,7 +20,7 @@ automatically (see parallel/).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

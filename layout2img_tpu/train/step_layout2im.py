@@ -48,8 +48,6 @@ from layout2img_tpu.train.state import GANTrainState  # noqa: E402
 
 
 def create_layout2im_state(rng, generator, d_img, d_obj, example_batch, cfg: Layout2ImConfig):
-    import numpy as np
-
     b, o = example_batch["labels"].shape
     rng_g, rng_d1, rng_d2, rng_z = jax.random.split(rng, 4)
     masks = bbox_mask(example_batch["boxes"], 64, 64)
