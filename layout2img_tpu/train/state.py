@@ -32,6 +32,16 @@ class TrainConfig:
     use_pixel_loss: bool = True
     use_vgg_loss: bool = True
     mapping_lr_mult: float = 0.1
+    # Fuse the D update's real and fake passes into ONE apply on a 2b batch
+    # (score-identical — no cross-sample coupling in the D, see
+    # tests/test_misc_extensions.py::test_batched_d_pass_scores_identical).
+    # Delta vs the reference loop: 2 spectral power iterations per step on D
+    # instead of torch's 3 (train_ours_d.py:119-150 runs D on real, detached
+    # fake, and fake-for-G separately); u converges either way.
+    fused_d: bool = False
+    # BigGAN-style generator EMA (opt-in; 0 = off). Does not change the
+    # training math — sampling uses the averaged weights when enabled.
+    ema_decay: float = 0.0
     # bf16 compute with fp32 master params/optimizer state — the TPU-native
     # precision scheme (the reference trains fp32 on GPUs). Norm statistics
     # and the loss itself stay fp32 inside the modules.
@@ -48,6 +58,7 @@ class GANTrainState(struct.PyTreeNode):
     d_opt_state: Any
     g_tx: optax.GradientTransformation = struct.field(pytree_node=False)
     d_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Any = None  # EMA of g_params when config.ema_decay > 0
 
 
 def _make_optimizer(lr: float, cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
@@ -106,8 +117,15 @@ def create_train_state(
     g_tx = _make_optimizer(config.g_lr, config, g_params)
     d_tx = _make_optimizer(config.d_lr, config, d_params)
 
+    ema_params = None
+    if config.ema_decay > 0:
+        from layout2img_tpu.train.ema import ema_init
+
+        ema_params = ema_init(g_params)
+
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
+        ema_params=ema_params,
         g_params=g_params,
         g_state=g_state,
         d_params=d_params,

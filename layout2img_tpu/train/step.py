@@ -12,6 +12,8 @@ same fake batch feeds the D update (stop-gradient) and the G update (pullback
 with the G-loss cotangent), exactly like torch autograd graph reuse, instead
 of re-tracing G twice. Spectral-norm power iterations per step match torch:
 3 on D (real, fake-detached, fake-for-G), 1 on G; G batch stats update once.
+With ``config.fused_d`` the real/fake D passes fuse into one 2b-batch apply
+(score-identical; D runs 2 power iterations per step instead of 3).
 
 Under a `jax.sharding` mesh, jit with the batch sharded over 'data' and
 params replicated — BN stats and gradient means become cross-replica
@@ -76,13 +78,26 @@ def make_train_step(
         # ---- D update ----
         def d_loss_fn(d_params):
             d_p = cast(d_params)
-            out_r, ds = discriminator.apply(
-                {"params": d_p, **state.d_state},
-                images, boxes, labels, mutable=["spectral"],
-            )
-            out_f, ds = discriminator.apply(
-                {"params": d_p, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
-            )
+            if config.fused_d:
+                # one apply on the concatenated 2b batch: same scores (no
+                # cross-sample coupling), one spectral power iteration
+                out, ds = discriminator.apply(
+                    {"params": d_p, **state.d_state},
+                    jnp.concatenate([images, fake_sg]),
+                    jnp.concatenate([boxes, boxes]),
+                    jnp.concatenate([labels, labels]),
+                    mutable=["spectral"],
+                )
+                out_r = {k: v[:b] for k, v in out.items()}
+                out_f = {k: v[b:] for k, v in out.items()}
+            else:
+                out_r, ds = discriminator.apply(
+                    {"params": d_p, **state.d_state},
+                    images, boxes, labels, mutable=["spectral"],
+                )
+                out_f, ds = discriminator.apply(
+                    {"params": d_p, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
+                )
             loss = config.lamb_obj * (
                 hinge_d_real(out_r["object"], valid) + hinge_d_fake(out_f["object"], valid)
             ) + config.lamb_img * (
@@ -145,9 +160,16 @@ def make_train_step(
         )
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        ema_params = state.ema_params
+        if config.ema_decay > 0 and ema_params is not None:
+            from layout2img_tpu.train.ema import ema_update
+
+            ema_params = ema_update(ema_params, g_params, config.ema_decay)
+
         metrics = {"d_loss": d_loss, "g_loss": g_loss} | d_metrics | g_metrics
         new_state = state.replace(
             step=state.step + 1,
+            ema_params=ema_params,
             g_params=g_params,
             g_state=g_new_state,
             d_params=d_params,

@@ -84,6 +84,73 @@ def test_train_step_data_parallel_matches_single(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_fused_d_step_matches_separate(rng):
+    """fused_d=True (one 2b-batch D apply) must match the two-pass step.
+
+    Scores are exactly identical (test_batched_d_pass_scores_identical); the
+    only numeric delta is spectral-u settling (the fused pass runs one power
+    iteration where the separate passes run two), so warm the state up first
+    and compare at a tolerance that the settled u supports.
+    """
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, app=True, size=128)
+    jstep = jax.jit(step)
+    for i in range(5):  # settle spectral u
+        state, _ = jstep(state, batch, jax.random.PRNGKey(i))
+
+    cfg_fused = TrainConfig(use_vgg_loss=False, fused_d=True)
+    step_fused = jax.jit(make_train_step(gen, disc, cfg_fused))
+
+    ref_state, ref_metrics = jstep(state, batch, jax.random.PRNGKey(9))
+    new_state, metrics = step_fused(state, batch, jax.random.PRNGKey(9))
+
+    assert set(metrics) == set(ref_metrics)
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=5e-3, atol=5e-4
+        ), k
+    a = jax.tree_util.tree_leaves(ref_state.g_params)[0]
+    b = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
+
+
+def test_ema_updates_and_roundtrips(rng, tmp_path):
+    """EMA params track g_params without changing the training math, and
+    survive a checkpoint round-trip even into a template built without EMA."""
+    from layout2img_tpu.train.checkpoint import CheckpointManager
+
+    gen = make_generator("lostgan64", 10, ch=4)
+    disc = LayoutDiscriminator(num_classes=10, image_size=64, ch=4)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(rng, 2, 64, 4, 10))
+
+    cfg_ema = TrainConfig(use_vgg_loss=False, ema_decay=0.5)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg_ema)
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(gen, disc, cfg_ema))
+
+    # training metrics identical to a no-EMA run (EMA is passive)
+    cfg_plain = TrainConfig(use_vgg_loss=False)
+    state_plain = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg_plain)
+    step_plain = jax.jit(make_train_step(gen, disc, cfg_plain))
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    s0, m0 = step_plain(state_plain, batch, jax.random.PRNGKey(1))
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-6)
+
+    # ema = decay*init + (1-decay)*new, elementwise
+    leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    want = 0.5 * leaf(state.g_params) + 0.5 * leaf(s1.g_params)
+    np.testing.assert_allclose(np.asarray(leaf(s1.ema_params)), np.asarray(want), rtol=1e-6)
+
+    # round-trip incl. restore into an EMA-less template (sampler path)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(jax.device_get(s1))
+    restored = ckpt.restore(state_plain)
+    np.testing.assert_allclose(
+        np.asarray(leaf(restored.ema_params)), np.asarray(leaf(s1.ema_params))
+    )
+    ckpt.close()
+
+
 def test_sampler(rng):
     gen, disc, batch, cfg, state, step = _tiny_setup(rng)
     sample = make_sample_fn(gen, cfg)
