@@ -125,6 +125,11 @@ def main(argv=None):
         sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
     os.makedirs(args.sample_path, exist_ok=True)
 
+    # prefer EMA weights when the checkpoint carries them (--ema_decay training)
+    g_params = state.g_params
+    if getattr(state, "ema_params", None) is not None:
+        g_params = state.ema_params
+
     rng = jax.random.PRNGKey(args.seed)
     idx = 0
     for batch in loader:
@@ -132,7 +137,7 @@ def main(argv=None):
         labels = jnp.asarray(batch["labels"])
         for j in range(args.num_img):
             rng, srng = jax.random.split(rng)
-            imgs = np.asarray(sample(state.g_params, state.g_state, boxes, labels, srng))
+            imgs = np.asarray(sample(g_params, state.g_state, boxes, labels, srng))
             imgs = np.clip(imgs * 0.5 + 0.5, 0, 1)
             for k in range(imgs.shape[0]):
                 out = (imgs[k] * 255).astype(np.uint8)

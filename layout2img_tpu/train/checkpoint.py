@@ -17,7 +17,7 @@ from layout2img_tpu.train.state import GANTrainState
 
 
 def _as_pytree(state: GANTrainState) -> dict:
-    return {
+    tree = {
         "step": state.step,
         "g_params": state.g_params,
         "g_state": state.g_state,
@@ -26,6 +26,9 @@ def _as_pytree(state: GANTrainState) -> dict:
         "g_opt_state": state.g_opt_state,
         "d_opt_state": state.d_opt_state,
     }
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
 
 
 class CheckpointManager:
@@ -46,14 +49,32 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state: GANTrainState, step: int | None = None) -> GANTrainState:
-        """Restore into the structure of an (initialized) state template."""
+        """Restore into the structure of an (initialized) state template.
+
+        EMA weights are restored whenever the checkpoint carries them (so a
+        sampler built without --ema_decay still gets them); a template asking
+        for EMA that the checkpoint lacks starts the average from g_params.
+        """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_as_pytree(state))
-        )
-        return state.replace(**restored)
+
+        def attempt(template: GANTrainState):
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(_as_pytree(template))
+            )
+            return template.replace(**restored)
+
+        try:
+            return attempt(state)
+        except Exception:
+            if state.ema_params is None:
+                # checkpoint carries EMA the template didn't ask for
+                return attempt(state.replace(ema_params=state.g_params))
+            # template asked for EMA the checkpoint lacks: restore without,
+            # then start the average from the restored generator params
+            restored = attempt(state.replace(ema_params=None))
+            return restored.replace(ema_params=restored.g_params)
 
     def close(self):
         self._mgr.close()

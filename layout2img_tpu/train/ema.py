@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 
 def ema_init(params: Any) -> Any:
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    # a real copy: aliasing g_params' buffers breaks donation (the jitted
+    # step would donate the same buffer twice)
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
 def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
