@@ -13,6 +13,9 @@ class Experiment:
     disc_preset: str
     image_size: int
     description: str
+    # special families (fg/bg Ours-ED, layout2im CVAE-GAN) route through
+    # dedicated trainers rather than the generic GAN step
+    special: bool = False
 
 
 EXPERIMENTS: dict[str, Experiment] = {
@@ -34,6 +37,19 @@ EXPERIMENTS: dict[str, Experiment] = {
     "graph_context_app": Experiment("graph128", "d128_app", 128, "GCN context + app D"),
     # train_lostGan.py
     "lostgan": Experiment("lostgan128", "d128", 128, "LostGAN v1 baseline"),
+    # train_context_part.py: 3-part masks + plain CombineDiscriminator128
+    "context_part": Experiment(
+        "context128_part", "d128", 128, "context G with 3-part masks"
+    ),
+    # 256px training (resnet_generator_app_v2.py:509-625; regress canvas 64,
+    # occupancy canvas 128 — encoded in the ours_d_base256 preset)
+    "ours_d_256": Experiment(
+        "ours_d_base256", "d256", 256, "v2 stage-mask G at 256px"
+    ),
+    # train_ours.py fg/bg two-stream family ("Ours-ED", 64px)
+    "ours_ed": Experiment("bgfg64", "d64", 64, "fg/bg two-stream G (Ours-ED)", special=True),
+    # train_ours_layout2img.py CVAE-GAN family (64px)
+    "layout2im": Experiment("layout2im64", "layout2im", 64, "layout2im CVAE-GAN", special=True),
 }
 
 

@@ -28,7 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--d_lr", type=float, default=1e-4)
     p.add_argument("--g_lr", type=float, default=1e-4)
     p.add_argument("--out_path", default="./outputs/tmp")
-    p.add_argument("--img_size", type=int, default=128)
+    p.add_argument("--img_size", type=int, default=0,
+                   help="0 = the preset's native size; other sizes are only "
+                        "accepted where a correct model config exists")
     p.add_argument("--ch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
@@ -37,6 +39,15 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0, help="synthetic only")
     p.add_argument("--no_vgg", action="store_true")
     p.add_argument("--mixed_precision", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="generator EMA decay (e.g. 0.999); 0 disables. "
+                        "Sampling prefers EMA weights when present.")
+    p.add_argument("--fused_d", action="store_true",
+                   help="one 2b-batch D apply for real+fake (score-identical)")
+    p.add_argument("--l2i_fusion", default="transformer",
+                   choices=["transformer", "convlstm", "transformer_decoder"],
+                   help="layout2im fusion variant (generator_app / generator "
+                        "baselines / generator1)")
     p.add_argument("--profile_dir", default="", help="write a jax profiler trace of steps 10-20")
     # data paths
     p.add_argument("--coco_image_dir", default="datasets/coco/images/train2017")
@@ -75,24 +86,46 @@ def build_dataset(args, num_objects):
 
 def main(argv=None):
     from layout2img_tpu.cli.presets import EXPERIMENTS, dataset_spec
+    from layout2img_tpu.data.prefetch import device_prefetch
     from layout2img_tpu.losses.perceptual import VGGLoss, load_torch_vgg19_features
     from layout2img_tpu.models.discriminators import make_discriminator
     from layout2img_tpu.models.generators import make_generator
-    from layout2img_tpu.parallel.mesh import jit_train_step, make_mesh, replicate, shard_batch
+    from layout2img_tpu.parallel.mesh import (
+        batch_sharding,
+        jit_train_step,
+        make_mesh,
+        replicate,
+    )
     from layout2img_tpu.train.checkpoint import CheckpointManager
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
     args = parse_args(argv)
-    if args.model in ("ours_ed", "layout2im"):
-        return main_special(args)
     if args.model not in EXPERIMENTS:
         raise SystemExit(
-            f"unknown --model '{args.model}'. Choices: "
-            f"{', '.join(sorted(EXPERIMENTS))}, ours_ed, layout2im"
+            f"unknown --model '{args.model}'. Choices: {', '.join(sorted(EXPERIMENTS))}"
         )
     exp = EXPERIMENTS[args.model]
+    if args.img_size == 0:
+        args.img_size = exp.image_size
+    if exp.special:
+        return main_special(args)
+    if args.img_size > exp.image_size:
+        # refuse to silently build a wrong upscaled model (e.g. a 256px net
+        # without the hard_mask_size=128 occupancy canvas the reference's
+        # 256 model uses, resnet_generator_app_v2.py:509-625)
+        alt = next(
+            (name for name, e in EXPERIMENTS.items()
+             if e.image_size == args.img_size and not e.special),
+            None,
+        )
+        hint = f" — use --model {alt}" if alt else ""
+        raise SystemExit(
+            f"--model {args.model} is a {exp.image_size}px experiment; "
+            f"--img_size {args.img_size} has no correct config{hint}. "
+            f"(Sizes below {exp.image_size} are accepted as debug runs.)"
+        )
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
     logger = setup_logger("layout2img_tpu", out_dir)
@@ -103,7 +136,8 @@ def main(argv=None):
 
     loader = build_dataset(args, num_objects)
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
-                      mixed_precision=args.mixed_precision)
+                      mixed_precision=args.mixed_precision,
+                      ema_decay=args.ema_decay, fused_d=args.fused_d)
     vgg = None
     if cfg.use_vgg_loss:
         params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None
@@ -139,9 +173,17 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = int(jax.device_get(state.step))
+    sharding = batch_sharding(mesh)
     for epoch in range(args.total_epoch):
-        for batch in loader:
-            batch = shard_batch(mesh, {k: v for k, v in batch.items() if k in ("images", "labels", "boxes")})
+        # host batches are assembled + transferred 2 steps ahead in a
+        # background thread, landing pre-sharded over the mesh, so H2D
+        # overlaps the running step (the reference leans on torch DataLoader
+        # worker prefetch, train_ours_d.py:61-63)
+        host_batches = (
+            {k: v for k, v in b.items() if k in ("images", "labels", "boxes")}
+            for b in loader
+        )
+        for batch in device_prefetch(host_batches, size=2, sharding=sharding):
             rng, step_rng = jax.random.split(rng)
             if args.profile_dir and global_step == 10:
                 jax.profiler.start_trace(args.profile_dir)
@@ -158,7 +200,10 @@ def main(argv=None):
                 writer.write(global_step, m)
                 # sample grid (reference logs real/fake grids every 500 steps)
                 host_state = jax.device_get(state)
-                fakes = sample_fn(host_state.g_params, host_state.g_state,
+                sample_params = (host_state.ema_params
+                                 if host_state.ema_params is not None
+                                 else host_state.g_params)
+                fakes = sample_fn(sample_params, host_state.g_state,
                                   batch["boxes"], batch["labels"],
                                   jax.random.PRNGKey(global_step))
                 writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
@@ -176,7 +221,9 @@ def main_special(args):
     from layout2img_tpu.cli.presets import dataset_spec
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
-    args.img_size = 64  # both special families are 64px models
+    if args.img_size not in (0, 64):
+        raise SystemExit(f"--model {args.model} is a 64px family; got --img_size {args.img_size}")
+    args.img_size = 64
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
     logger = setup_logger("layout2img_tpu", out_dir)
@@ -254,7 +301,7 @@ def main_special(args):
         )
 
         loader = build_dataset(args, num_objects)
-        gen = Layout2ImGenerator(num_classes=num_classes)
+        gen = Layout2ImGenerator(num_classes=num_classes, fusion=args.l2i_fusion)
         d_img = Layout2ImImageDiscriminator(conv_dim=args.ch)
         d_obj = Layout2ImObjectDiscriminator(num_classes=num_classes, conv_dim=args.ch)
         l2i_cfg = Layout2ImConfig(lr_g=args.g_lr, lr_d=args.d_lr)
