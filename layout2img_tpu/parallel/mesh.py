@@ -37,6 +37,13 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """The NamedSharding a training batch should land with (leading axis over
+    the data mesh axis) — handed to ``data.prefetch.device_prefetch`` so host
+    batches are transferred ahead of the step that consumes them."""
+    return NamedSharding(mesh, P(axis_name))
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,117 @@
+"""Host data-plane ingest benchmark.
+
+Proves the loader can feed the TPU step rate (~222 img/s at batch 64):
+synthesizes COCO-sized JPEGs, then measures
+
+1. raw native JPEG decode+resize+normalize throughput (native/dataplane.cc)
+   across thread counts;
+2. the full CocoLayoutDataset + HostDataLoader path (JSON parse, box/label
+   assembly, batch stacking) — the exact iterator cli/train.py consumes.
+
+Reference capability being matched: torch DataLoader with num_workers=8
+(train_ours_d.py:61-63). Run: python scripts/bench_ingest.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpegs(root: str, n: int, w: int = 640, h: int = 480) -> list[str]:
+    import PIL.Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    base = rng.integers(0, 255, (h, w, 3), np.uint8)
+    for i in range(n):
+        # vary content a little so decode work is realistic but generation fast
+        arr = np.roll(base, i * 7, axis=1)
+        p = os.path.join(root, f"{i:06d}.jpg")
+        PIL.Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def make_coco_json(root: str, paths: list[str], w: int, h: int) -> tuple[str, str]:
+    rng = np.random.default_rng(1)
+    images, anns = [], []
+    for i, p in enumerate(paths):
+        images.append({"id": i, "file_name": os.path.basename(p), "width": w, "height": h})
+        for j in range(5):  # 5 objects per image, all above min size
+            bw, bh = int(w * 0.25), int(h * 0.25)
+            anns.append({
+                "id": i * 10 + j, "image_id": i,
+                "category_id": int(rng.integers(1, 90)),
+                "bbox": [float(rng.integers(0, w - bw)), float(rng.integers(0, h - bh)),
+                         float(bw), float(bh)],
+                "iscrowd": 0,
+            })
+    categories = [{"id": c, "name": f"cat{c}"} for c in range(1, 91)]
+    inst = os.path.join(root, "instances.json")
+    with open(inst, "w") as f:
+        json.dump({"images": images, "annotations": anns, "categories": categories}, f)
+    return inst, None
+
+
+def main():
+    from layout2img_tpu.data import native
+    from layout2img_tpu.data.coco import CocoLayoutDataset, HostDataLoader
+
+    n_imgs, img_size, batch = 512, 128, 64
+    target = 230.0  # img/s the flagship train step consumes at batch 64
+    cores = os.cpu_count() or 1
+    print(f"[ingest] host cores: {cores} (decode scales ~linearly per core; "
+          f"TPU-VM hosts have dozens)")
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.time()
+        paths = make_jpegs(root, n_imgs)
+        print(f"[ingest] synthesized {n_imgs} 640x480 JPEGs in {time.time()-t0:.1f}s")
+
+        if not native.native_available():
+            print("[ingest] native data plane unavailable; PIL path only")
+        else:
+            flips = [False] * batch
+            for threads in (1, 2, 4, 8, 16):
+                native.load_batch(paths[:batch], img_size, flips, threads)  # warm
+                t0 = time.time()
+                reps = max(1, n_imgs // batch)
+                for r in range(reps):
+                    native.load_batch(paths[r * batch:(r + 1) * batch], img_size, flips, threads)
+                dt = time.time() - t0
+                print(f"[ingest] native decode {threads:2d} threads: "
+                      f"{reps * batch / dt:8.1f} img/s")
+
+        inst, _ = make_coco_json(root, paths, 640, 480)
+        ds = CocoLayoutDataset(root, inst, stuff_json=None, stuff_only=False,
+                               image_size=img_size, left_right_flip=True)
+        loader = HostDataLoader(ds, batch, seed=0)
+        # warm one epoch (thread pool spin-up, native lib load)
+        next(iter(loader))
+        t0 = time.time()
+        n = 0
+        for b in loader:
+            n += b["images"].shape[0]
+        dt = time.time() - t0
+        rate = n / dt
+        print(f"[ingest] full HostDataLoader path: {rate:8.1f} img/s "
+              f"({n} imgs, batch {batch}, native={ds.use_native})")
+        print(json.dumps({
+            "metric": "host_ingest_images_per_sec_128px",
+            "value": round(rate, 1), "unit": "img/s",
+            "cores": cores,
+            "per_core": round(rate / cores, 1),
+            "vs_train_step_rate": round(rate / target, 2),
+            "cores_needed_for_step_rate": round(target / (rate / cores), 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
