@@ -1,9 +1,19 @@
-"""Evaluation CLI — covers the reference's ``IS.py`` (Inception Score over a
-sample directory; 3-split protocol) and adds FID (external to the reference)
-plus LPIPS diversity (``test_lpips.py``), all on-device.
+"""Evaluation CLI — covers the reference's ``IS.py`` (Inception Score over
+samples; 3-split protocol) and adds FID (external to the reference) plus
+LPIPS diversity (``test_lpips.py``), all on-device.
+
+Input modes mirror the reference driver (``IS.py:40-79``): exactly one of
+  --dir DIR          flat image directory
+  --npy FILE         .npy array of images
+  --dir_list FILE    text file, one image directory per line (IS per dir)
+  --superdir DIR     scans DIR/result*/images subdirs (IS per subdir)
+FID/LPIPS compare --dir (or --npy) against --ref_dir.
+
+Images are decoded in batches (bounded host RAM, arbitrarily large dirs).
 
 Examples:
   python -m layout2img_tpu.cli.evaluate is --dir samples/
+  python -m layout2img_tpu.cli.evaluate is --superdir results/
   python -m layout2img_tpu.cli.evaluate fid --dir samples/ --ref_dir real128/
   python -m layout2img_tpu.cli.evaluate lpips --dir samples/ --ref_dir real128/
 """
@@ -13,36 +23,94 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+from typing import Iterator
 
 import numpy as np
 
+_EXTS = ("*.jpg", "*.jpeg", "*.png")
 
-def load_image_dir(path: str, limit: int | None = None) -> np.ndarray:
-    import PIL.Image
 
-    files = sorted(
-        glob.glob(os.path.join(path, "*.jpg")) + glob.glob(os.path.join(path, "*.png"))
-    )
+def list_images(path: str, limit: int | None = None) -> list[str]:
+    files = sorted(f for pat in _EXTS for f in glob.glob(os.path.join(path, pat)))
     if limit:
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images in {path}")
-    imgs = []
-    for f in files:
-        with PIL.Image.open(f) as im:
-            imgs.append(np.asarray(im.convert("RGB"), np.float32))
-    arr = np.stack(imgs) / 255.0
-    return arr * 2.0 - 1.0  # [-1, 1]
+    return files
+
+
+def iter_file_batches(
+    files: list[str], batch_size: int, resize: int = 0
+) -> Iterator[np.ndarray]:
+    """Decode `files` in batches -> (<=b, h, w, 3) float32 in [-1, 1]."""
+    import PIL.Image
+
+    for i in range(0, len(files), batch_size):
+        chunk = []
+        for f in files[i : i + batch_size]:
+            with PIL.Image.open(f) as im:
+                im = im.convert("RGB")
+                if resize:
+                    im = im.resize((resize, resize), PIL.Image.BILINEAR)
+                chunk.append(np.asarray(im, np.float32))
+        yield np.stack(chunk) / 255.0 * 2.0 - 1.0
+
+
+def _npy_batches(path: str, batch_size: int, limit: int | None) -> Iterator[np.ndarray]:
+    arr = np.load(path)
+    if limit:
+        arr = arr[:limit]
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
+    else:
+        arr = arr.astype(np.float32)  # assumed already in [-1, 1]
+    for i in range(0, arr.shape[0], batch_size):
+        yield arr[i : i + batch_size]
+
+
+def resolve_sources(args) -> list[tuple[str, Iterator[np.ndarray]]]:
+    """-> [(name, batch iterator)]; one entry except dir_list/superdir."""
+    limit = args.limit or None
+    given = [bool(args.dir), bool(args.npy), bool(args.dir_list), bool(args.superdir)]
+    if sum(given) != 1:
+        raise SystemExit("give exactly one of --dir / --npy / --dir_list / --superdir")
+    if args.dir:
+        return [(args.dir, iter_file_batches(list_images(args.dir, limit),
+                                             args.batch_size, args.resize))]
+    if args.npy:
+        return [(args.npy, _npy_batches(args.npy, args.batch_size, limit))]
+    if args.dir_list:
+        with open(args.dir_list) as f:
+            dirs = [line.strip() for line in f if line.strip()]
+        return [(d, iter_file_batches(list_images(d, limit), args.batch_size, args.resize))
+                for d in dirs]
+    # superdir: DIR/result*/images (reference IS.py:70-79)
+    out = []
+    for fn in sorted(os.listdir(args.superdir)):
+        if not fn.startswith("result"):
+            continue
+        d = os.path.join(args.superdir, fn, "images")
+        if os.path.isdir(d):
+            out.append((d, iter_file_batches(list_images(d, limit),
+                                             args.batch_size, args.resize)))
+    if not out:
+        raise FileNotFoundError(f"no result*/images dirs under {args.superdir}")
+    return out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["is", "fid", "lpips"])
-    p.add_argument("--dir", required=True)
+    p.add_argument("--dir", default="")
+    p.add_argument("--npy", default="", help=".npy image array input")
+    p.add_argument("--dir_list", default="", help="file listing image dirs (IS per dir)")
+    p.add_argument("--superdir", default="", help="scan DIR/result*/images (IS per subdir)")
     p.add_argument("--ref_dir", default="")
     p.add_argument("--splits", type=int, default=3)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--resize", type=int, default=0,
+                   help="resize decoded images (0 = keep; batches must be uniform)")
     p.add_argument("--inception_weights", default="", help="torchvision inception_v3 .pth")
     p.add_argument("--lpips_weights", default="")
     args = p.parse_args(argv)
@@ -51,11 +119,15 @@ def main(argv=None):
     import jax.numpy as jnp
 
     limit = args.limit or None
-    images = load_image_dir(args.dir, limit)
+    sources = resolve_sources(args)
 
     if args.mode in ("is", "fid"):
         from layout2img_tpu.eval.inception import InceptionV3, load_torch_inception_v3
-        from layout2img_tpu.eval.metrics import fid_from_features, inception_score, run_inception
+        from layout2img_tpu.eval.metrics import (
+            fid_from_features,
+            inception_score,
+            run_inception_batches,
+        )
 
         net = InceptionV3()
         if args.inception_weights:
@@ -67,24 +139,43 @@ def main(argv=None):
         def apply(v, x):
             return net.apply(v, x)
 
-        feats, probs = run_inception(apply, variables, images, args.batch_size)
         if args.mode == "is":
-            mean, std = inception_score(probs, args.splits)
-            print(f"IS: {mean:.4f} +/- {std:.4f}  (n={len(probs)}, splits={args.splits})")
+            for name, batches in sources:
+                feats, probs = run_inception_batches(apply, variables, batches, args.batch_size)
+                mean, std = inception_score(probs, args.splits)
+                print(f"{name}: IS: {mean:.4f} +/- {std:.4f}  (n={len(probs)}, splits={args.splits})")
         else:
-            ref = load_image_dir(args.ref_dir, limit)
-            ref_feats, _ = run_inception(apply, variables, ref, args.batch_size)
+            if len(sources) != 1:
+                raise SystemExit("fid takes a single input source")
+            if not args.ref_dir:
+                raise SystemExit("fid requires --ref_dir")
+            feats, _ = run_inception_batches(apply, variables, sources[0][1], args.batch_size)
+            ref_batches = iter_file_batches(
+                list_images(args.ref_dir, limit), args.batch_size, args.resize
+            )
+            ref_feats, _ = run_inception_batches(apply, variables, ref_batches, args.batch_size)
             print(f"FID: {fid_from_features(feats, ref_feats):.4f}")
     else:
         from layout2img_tpu.eval.lpips import LPIPS, load_torch_lpips
 
+        if len(sources) != 1:
+            raise SystemExit("lpips takes a single input source")
+        if not args.ref_dir:
+            raise SystemExit("lpips requires --ref_dir")
         lp = LPIPS(load_torch_lpips(args.lpips_weights) if args.lpips_weights else None)
-        ref = load_image_dir(args.ref_dir, limit)
-        n = min(len(images), len(ref))
-        import jax.numpy as jnp
-
-        d = np.asarray(lp(jnp.asarray(ref[:n]), jnp.asarray(images[:n])))
-        print(f"LPIPS: {d.mean():.4f} +/- {d.std():.4f}  (n={n})")
+        ref_batches = iter_file_batches(
+            list_images(args.ref_dir, limit), args.batch_size, args.resize
+        )
+        jlp = jax.jit(lp)
+        dists = []
+        for a, b in zip(sources[0][1], ref_batches):
+            n = min(a.shape[0], b.shape[0])
+            if n < args.batch_size:  # tail: eager to avoid a second compile
+                dists.append(np.asarray(lp(jnp.asarray(b[:n]), jnp.asarray(a[:n]))))
+            else:
+                dists.append(np.asarray(jlp(jnp.asarray(b[:n]), jnp.asarray(a[:n]))))
+        d = np.concatenate(dists)
+        print(f"LPIPS: {d.mean():.4f} +/- {d.std():.4f}  (n={len(d)})")
 
 
 if __name__ == "__main__":

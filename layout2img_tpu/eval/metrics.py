@@ -62,10 +62,21 @@ def run_inception(
     probs (n, 1000)). The tail batch is padded to keep shapes static.
     """
     n = images.shape[0]
+    chunks = (images[i : i + batch_size] for i in range(0, n, batch_size))
+    return run_inception_batches(inception_apply, variables, chunks, batch_size)
+
+
+def run_inception_batches(
+    inception_apply, variables, batches, batch_size: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming variant of ``run_inception``: consumes an iterable of
+    (<=batch_size, h, w, 3) chunks so an arbitrarily large sample directory
+    never has to fit in host RAM. Tail chunks are padded to keep the
+    compiled shape static."""
     feats, probs = [], []
     jit_apply = jax.jit(inception_apply)
-    for i in range(0, n, batch_size):
-        chunk = images[i : i + batch_size]
+    for chunk in batches:
+        chunk = np.asarray(chunk)
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
@@ -73,4 +84,6 @@ def run_inception(
         p = jax.nn.softmax(logits, axis=-1)
         feats.append(np.asarray(f)[: batch_size - pad])
         probs.append(np.asarray(p)[: batch_size - pad])
+    if not feats:
+        raise ValueError("no image batches to run inception on")
     return np.concatenate(feats), np.concatenate(probs)

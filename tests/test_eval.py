@@ -1,6 +1,8 @@
 """Eval subsystem tests: metric formulas (golden), inception/lpips plumbing,
 checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -91,3 +93,75 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     b = jax.tree_util.tree_leaves(restored.g_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_evaluate_input_modes(tmp_path, rng):
+    """The eval driver's four input modes (reference IS.py:40-79): flat dir,
+    npy, dir-of-dirs list, and superdir result*/images scanning — plus the
+    batched decoder's shapes/range."""
+    import argparse
+
+    import PIL.Image
+
+    from layout2img_tpu.cli.evaluate import (
+        iter_file_batches,
+        list_images,
+        resolve_sources,
+    )
+
+    def write_imgs(d, n):
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            arr = rng.integers(0, 255, (16, 16, 3), np.uint8)
+            PIL.Image.fromarray(arr).save(d / f"img{i}.png")
+
+    flat = tmp_path / "flat"
+    write_imgs(flat, 5)
+    super_root = tmp_path / "super"
+    for r in ("result_a", "result_b"):
+        write_imgs(super_root / r / "images", 3)
+    (super_root / "not_result").mkdir()
+    lst = tmp_path / "dirs.txt"
+    lst.write_text(f"{flat}\n{super_root / 'result_a' / 'images'}\n")
+    npy = tmp_path / "imgs.npy"
+    np.save(npy, rng.integers(0, 255, (4, 16, 16, 3), np.uint8))
+
+    def args(**kw):
+        base = dict(dir="", npy="", dir_list="", superdir="", batch_size=2,
+                    limit=0, resize=0)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    # flat dir: 5 images in batches of 2 -> 2+2+1
+    (name, batches), = resolve_sources(args(dir=str(flat)))
+    shapes = [b.shape for b in batches]
+    assert shapes == [(2, 16, 16, 3), (2, 16, 16, 3), (1, 16, 16, 3)]
+
+    # npy (uint8 -> [-1, 1])
+    (_, batches), = resolve_sources(args(npy=str(npy)))
+    arrs = list(batches)
+    assert sum(a.shape[0] for a in arrs) == 4
+    assert all(a.min() >= -1 and a.max() <= 1 for a in arrs)
+
+    # dir list: one source per line
+    sources = resolve_sources(args(dir_list=str(lst)))
+    assert [os.path.basename(os.path.dirname(n)) or n for n, _ in sources]
+    assert len(sources) == 2
+
+    # superdir: only result*/images picked up
+    sources = resolve_sources(args(superdir=str(super_root)))
+    assert len(sources) == 2
+    assert all("images" in n for n, _ in sources)
+
+    # value range + resize of the file decoder
+    batch = next(iter_file_batches(list_images(str(flat)), 4, resize=8))
+    assert batch.shape == (4, 8, 8, 3)
+    assert batch.min() >= -1 and batch.max() <= 1
+
+    # exactly-one-input enforcement
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        resolve_sources(args())
+    with _pytest.raises(SystemExit):
+        resolve_sources(args(dir=str(flat), npy=str(npy)))
