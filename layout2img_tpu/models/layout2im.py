@@ -214,7 +214,10 @@ class LayoutEncoder(fnn.Module):
     embedding_dim: int = 64
     resi_num: int = 6
     # "transformer" == the paper's final fusion (generator_app.py:844-855);
-    # "convlstm" == the upstream layout2im baseline (generator{,1,2}.py)
+    # "convlstm" == the upstream layout2im baseline (generator{,1,2}.py);
+    # "transformer_decoder" == the generator1 variant that refines the
+    # composed map with the learned-query set decoder (generator1.py:561,
+    # 579-580) instead of encoder self-attention
     fusion: str = "transformer"
 
     @fnn.compact
@@ -257,11 +260,19 @@ class LayoutEncoder(fnn.Module):
         else:
             # masked per-image sum over objects (replaces featuremap_composition)
             h = jnp.einsum("bohwc,bo->bhwc", h, valid.astype(h.dtype))
-            # transformer refinement over the 64 spatial tokens
             tokens = h.reshape(b, 64, cd * 8)
-            tokens = TransformerEncoder(3, name="transformer_encoder")(
-                tokens, deterministic=deterministic
-            )
+            if self.fusion == "transformer_decoder":
+                # generator1.py:561,579-580: 64 learned queries cross-attend
+                # into the composed spatial tokens
+                tokens = TransformerDecoder(
+                    num_layers=3, num_queries=64, d_model=cd * 8,
+                    name="transformer_decoder",
+                )(tokens, deterministic=deterministic)
+            else:
+                # transformer refinement over the 64 spatial tokens
+                tokens = TransformerEncoder(3, name="transformer_encoder")(
+                    tokens, deterministic=deterministic
+                )
             h = tokens.reshape(b, 8, 8, cd * 8)
             h = fnn.Conv(cd, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="c5")(h)
             h = MaskedBatchNorm(name="bn5")(h, use_running_average=not train)

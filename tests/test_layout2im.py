@@ -151,3 +151,25 @@ def test_layout2im_sample_method(rng):
     )
     assert img.shape == (b, 64, 64, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_layout2im_decoder_fusion_variant(rng):
+    """generator1-style fusion: the learned-query TransformerDecoder refines
+    the composed map (generator1.py:561,579-580)."""
+    from layout2img_tpu.models.layout2im import Layout2ImGenerator
+
+    b, o, zd = 2, 4, 8
+    gen = Layout2ImGenerator(num_classes=10, fusion="transformer_decoder")
+    images, labels, boxes, masks, z_rand = _inputs(rng, b, o, 10, zd)
+    variables = gen.init(
+        jax.random.PRNGKey(0), images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1)
+    )
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    assert any("transformer_decoder" in jax.tree_util.keystr(kp) for kp, _ in flat)
+    out, _ = gen.apply(
+        variables, images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1),
+        mutable=["batch_stats"],
+    )
+    assert out["img_rec"].shape == (b, 64, 64, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
