@@ -65,22 +65,26 @@ def build_dataset(args, num_objects):
     from layout2img_tpu.data.synthetic import SyntheticLayoutDataset
     from layout2img_tpu.data.vg import VgLayoutDataset
 
+    # multi-host: each process loads a disjoint shard of the global batch
+    # (batch_size is per-process; see scripts/launch_multihost.py)
+    proc = dict(process_id=jax.process_index(), process_count=jax.process_count())
     if args.dataset == "coco":
         ds = CocoLayoutDataset(
             args.coco_image_dir, args.coco_instances, args.coco_stuff,
             image_size=args.img_size, left_right_flip=True,
             fg_bg_split=getattr(args, "fg_bg", False),
         )
-        return HostDataLoader(ds, args.batch_size, seed=args.seed)
+        return HostDataLoader(ds, args.batch_size, seed=args.seed, **proc)
     if args.dataset == "vg":
         ds = VgLayoutDataset(
             args.vg_vocab, args.vg_h5, args.vg_image_dir,
             image_size=args.img_size, max_objects=num_objects - 1, left_right_flip=True,
         )
-        return HostDataLoader(ds, args.batch_size, seed=args.seed)
+        return HostDataLoader(ds, args.batch_size, seed=args.seed, **proc)
     steps = args.steps_per_epoch or 50
     return SyntheticLayoutDataset(
-        args.batch_size, args.img_size, num_objects, seed=args.seed, steps=steps
+        args.batch_size, args.img_size, num_objects,
+        seed=args.seed + jax.process_index(), steps=steps,
     )
 
 
@@ -155,16 +159,26 @@ def main(argv=None):
         logger.info("resumed from step %d", int(state.step))
 
     devices = jax.devices()
-    n_dev = len(devices)
-    while args.batch_size % n_dev:
-        n_dev -= 1
-    if n_dev != len(devices):
-        logger.warning(
-            "batch %d not divisible by %d devices; using %d",
-            args.batch_size, len(devices), n_dev,
-        )
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host: all devices, per-process batch (scripts/launch_multihost.py)
+        if (args.batch_size * n_proc) % len(devices):
+            raise SystemExit(
+                f"global batch {args.batch_size}x{n_proc} not divisible by "
+                f"{len(devices)} devices")
+        n_dev = len(devices)
+    else:
+        n_dev = len(devices)
+        while args.batch_size % n_dev:
+            n_dev -= 1
+        if n_dev != len(devices):
+            logger.warning(
+                "batch %d not divisible by %d devices; using %d",
+                args.batch_size, len(devices), n_dev,
+            )
     mesh = make_mesh(devices[:n_dev])
-    logger.info("training %s on %s: %d device(s), batch %d", args.model, args.dataset, n_dev, args.batch_size)
+    logger.info("training %s on %s: %d process(es), %d device(s), per-process batch %d",
+                args.model, args.dataset, n_proc, n_dev, args.batch_size)
     step_fn = jit_train_step(make_train_step(gen, disc, cfg, vgg_loss=vgg), mesh)
     from layout2img_tpu.train.step import make_sample_fn
 
@@ -173,7 +187,17 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = int(jax.device_get(state.step))
-    sharding = batch_sharding(mesh)
+    if n_proc > 1:
+        from functools import partial
+
+        from layout2img_tpu.parallel.mesh import shard_host_local_batch
+
+        put_fn = partial(shard_host_local_batch, mesh)
+        sharding = None
+    else:
+        put_fn = None
+        sharding = batch_sharding(mesh)
+    is_primary = jax.process_index() == 0
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -183,7 +207,8 @@ def main(argv=None):
             {k: v for k, v in b.items() if k in ("images", "labels", "boxes")}
             for b in loader
         )
-        for batch in device_prefetch(host_batches, size=2, sharding=sharding):
+        for batch in device_prefetch(host_batches, size=2, sharding=sharding,
+                                     put_fn=put_fn):
             rng, step_rng = jax.random.split(rng)
             if args.profile_dir and global_step == 10:
                 jax.profiler.start_trace(args.profile_dir)
@@ -193,25 +218,28 @@ def main(argv=None):
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s", args.profile_dir)
-            if global_step % args.log_every == 0:
+            if global_step % args.log_every == 0 and is_primary:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 logger.info("epoch %d step %d: %s", epoch + 1, global_step,
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
-                # sample grid (reference logs real/fake grids every 500 steps)
-                host_state = jax.device_get(state)
-                sample_params = (host_state.ema_params
-                                 if host_state.ema_params is not None
-                                 else host_state.g_params)
-                fakes = sample_fn(sample_params, host_state.g_state,
-                                  batch["boxes"], batch["labels"],
-                                  jax.random.PRNGKey(global_step))
-                writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
-                writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
+                if n_proc == 1:
+                    # sample grid (reference logs real/fake grids every 500
+                    # steps); multi-host runs log metrics only — the batch is
+                    # sharded over non-addressable devices
+                    host_state = jax.device_get(state)
+                    sample_params = (host_state.ema_params
+                                     if host_state.ema_params is not None
+                                     else host_state.g_params)
+                    fakes = sample_fn(sample_params, host_state.g_state,
+                                      batch["boxes"], batch["labels"],
+                                      jax.random.PRNGKey(global_step))
+                    writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
+                    writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
         if (epoch + 1) % args.save_every_epochs == 0:
-            ckpt.save(jax.device_get(state))
+            ckpt.save(jax.device_get(state) if n_proc == 1 else state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
-    ckpt.save(jax.device_get(state))
+    ckpt.save(jax.device_get(state) if n_proc == 1 else state)
     writer.close()
     logger.info("done: %d steps", global_step)
 

@@ -211,6 +211,8 @@ class HostDataLoader:
         seed: int = 0,
         num_threads: int = 8,
         prefetch: int = 4,
+        process_id: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -219,10 +221,14 @@ class HostDataLoader:
         self.seed = seed
         self.num_threads = num_threads
         self.prefetch = prefetch
+        # multi-host data sharding: every process draws the same permutation
+        # (same seed) and keeps a disjoint strided slice of it
+        self.process_id = process_id
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
@@ -232,6 +238,8 @@ class HostDataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_id :: self.process_count]
         self._epoch += 1
         n_batches = len(self)
         batches = [

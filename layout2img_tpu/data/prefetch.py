@@ -15,15 +15,19 @@ def device_prefetch(
     iterable: Iterable[Any],
     size: int = 2,
     sharding: Any | None = None,
+    put_fn: Any | None = None,
 ) -> Iterator[Any]:
     """Wrap a host batch iterator; batches are device_put in a background
     thread `size` steps ahead. With a NamedSharding, batches land already
-    sharded over the mesh."""
+    sharded over the mesh. ``put_fn`` overrides the transfer (e.g.
+    ``parallel.mesh.shard_host_local_batch`` for multi-process training)."""
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         if sharding is None:
             return jax.tree_util.tree_map(jax.device_put, batch)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -46,6 +46,14 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        # multi-controller: the mesh spans non-addressable devices, so build
+        # the replicated global array from identical process-local values
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

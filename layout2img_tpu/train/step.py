@@ -98,17 +98,15 @@ def make_train_step(
                 out_f, ds = discriminator.apply(
                     {"params": d_p, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
                 )
-            loss = config.lamb_obj * (
-                hinge_d_real(out_r["object"], valid) + hinge_d_fake(out_f["object"], valid)
-            ) + config.lamb_img * (
-                hinge_d_real(out_r["image"]) + hinge_d_fake(out_f["image"])
-            )
             metrics = {
                 "d_loss_real": hinge_d_real(out_r["image"]),
                 "d_loss_fake": hinge_d_fake(out_f["image"]),
                 "d_loss_robj": hinge_d_real(out_r["object"], valid),
                 "d_loss_fobj": hinge_d_fake(out_f["object"], valid),
             }
+            loss = config.lamb_obj * (
+                metrics["d_loss_robj"] + metrics["d_loss_fobj"]
+            ) + config.lamb_img * (metrics["d_loss_real"] + metrics["d_loss_fake"])
             if "app" in out_r:
                 rapp = hinge_d_real(out_r["app"], valid)
                 fapp = hinge_d_fake(out_f["app"], valid)
@@ -130,13 +128,12 @@ def make_train_step(
                 {"params": cast(d_params), **d_state}, fake_img, boxes, labels,
                 mutable=["spectral"],
             )
-            loss = config.lamb_obj * g_adv(out_g["object"], valid) + config.lamb_img * g_adv(
-                out_g["image"]
-            )
             metrics = {
                 "g_loss_fake": g_adv(out_g["image"]),
                 "g_loss_obj": g_adv(out_g["object"], valid),
             }
+            loss = (config.lamb_obj * metrics["g_loss_obj"]
+                    + config.lamb_img * metrics["g_loss_fake"])
             if "app" in out_g:
                 gapp = g_adv(out_g["app"], valid)
                 loss = loss + config.lamb_app * gapp
