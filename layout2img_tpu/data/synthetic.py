@@ -30,6 +30,49 @@ def synthetic_batch(
     return {"images": images, "labels": labels, "boxes": boxes}
 
 
+def write_synthetic_coco(
+    root: str,
+    n_images: int,
+    width: int = 640,
+    height: int = 480,
+    objects_per_image: int = 5,
+    quality: int = 90,
+    seed: int = 0,
+) -> tuple[str, str]:
+    """Write a tiny on-disk COCO-format dataset (real JPEGs + instances
+    JSON) for ingest benchmarks and end-to-end data-path tests.
+
+    Returns (image_dir, instances_json_path)."""
+    import json
+    import os
+
+    import PIL.Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (height, width, 3), np.uint8)
+    images, anns = [], []
+    for i in range(n_images):
+        arr = np.roll(base, i * 7, axis=1)
+        name = f"{i:06d}.jpg"
+        PIL.Image.fromarray(arr).save(os.path.join(root, name), quality=quality)
+        images.append({"id": i, "file_name": name, "width": width, "height": height})
+        for j in range(objects_per_image):
+            bw, bh = int(width * 0.25), int(height * 0.25)
+            anns.append({
+                "id": i * 100 + j, "image_id": i,
+                "category_id": int(rng.integers(1, 90)),
+                "bbox": [float(rng.integers(0, width - bw)),
+                         float(rng.integers(0, height - bh)), float(bw), float(bh)],
+                "iscrowd": 0,
+            })
+    categories = [{"id": c, "name": f"cat{c}"} for c in range(1, 91)]
+    inst = os.path.join(root, "instances.json")
+    with open(inst, "w") as f:
+        json.dump({"images": images, "annotations": anns, "categories": categories}, f)
+    return root, inst
+
+
 class SyntheticLayoutDataset:
     """Iterable of synthetic batches (deterministic per seed)."""
 

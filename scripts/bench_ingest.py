@@ -25,45 +25,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_jpegs(root: str, n: int, w: int = 640, h: int = 480) -> list[str]:
-    import PIL.Image
-
-    rng = np.random.default_rng(0)
-    paths = []
-    base = rng.integers(0, 255, (h, w, 3), np.uint8)
-    for i in range(n):
-        # vary content a little so decode work is realistic but generation fast
-        arr = np.roll(base, i * 7, axis=1)
-        p = os.path.join(root, f"{i:06d}.jpg")
-        PIL.Image.fromarray(arr).save(p, quality=90)
-        paths.append(p)
-    return paths
-
-
-def make_coco_json(root: str, paths: list[str], w: int, h: int) -> tuple[str, str]:
-    rng = np.random.default_rng(1)
-    images, anns = [], []
-    for i, p in enumerate(paths):
-        images.append({"id": i, "file_name": os.path.basename(p), "width": w, "height": h})
-        for j in range(5):  # 5 objects per image, all above min size
-            bw, bh = int(w * 0.25), int(h * 0.25)
-            anns.append({
-                "id": i * 10 + j, "image_id": i,
-                "category_id": int(rng.integers(1, 90)),
-                "bbox": [float(rng.integers(0, w - bw)), float(rng.integers(0, h - bh)),
-                         float(bw), float(bh)],
-                "iscrowd": 0,
-            })
-    categories = [{"id": c, "name": f"cat{c}"} for c in range(1, 91)]
-    inst = os.path.join(root, "instances.json")
-    with open(inst, "w") as f:
-        json.dump({"images": images, "annotations": anns, "categories": categories}, f)
-    return inst, None
-
-
 def main():
     from layout2img_tpu.data import native
     from layout2img_tpu.data.coco import CocoLayoutDataset, HostDataLoader
+    from layout2img_tpu.data.synthetic import write_synthetic_coco
 
     n_imgs, img_size, batch = 512, 128, 64
     target = 230.0  # img/s the flagship train step consumes at batch 64
@@ -72,7 +37,10 @@ def main():
           f"TPU-VM hosts have dozens)")
     with tempfile.TemporaryDirectory() as root:
         t0 = time.time()
-        paths = make_jpegs(root, n_imgs)
+        _, inst = write_synthetic_coco(root, n_imgs)
+        paths = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".jpg")
+        )
         print(f"[ingest] synthesized {n_imgs} 640x480 JPEGs in {time.time()-t0:.1f}s")
 
         if not native.native_available():
@@ -89,7 +57,6 @@ def main():
                 print(f"[ingest] native decode {threads:2d} threads: "
                       f"{reps * batch / dt:8.1f} img/s")
 
-        inst, _ = make_coco_json(root, paths, 640, 480)
         ds = CocoLayoutDataset(root, inst, stuff_json=None, stuff_only=False,
                                image_size=img_size, left_right_flip=True)
         loader = HostDataLoader(ds, batch, seed=0)
