@@ -55,10 +55,18 @@ def main(argv=None):
     cfg = TrainConfig(use_vgg_loss=False)
 
     args.steps_per_epoch = 4
+    if args.model == "ours_ed":
+        args.fg_bg = True
+        args.img_size = 64
     loader = build_dataset(args, num_objects)
     if isinstance(loader, HostDataLoader):
         loader.shuffle = False
-    example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
+    example = next(iter(loader))
+    if args.model == "ours_ed":
+        from layout2img_tpu.data.coco import split_fg_bg_batch
+
+        example = split_fg_bg_batch(example)
+    example = jax.tree_util.tree_map(jnp.asarray, example)
 
     if args.model == "layout2im":
         if not args.ckpt_dir:
@@ -96,6 +104,21 @@ def main(argv=None):
             )
 
         sample = jax.jit(sample)
+    elif args.model == "ours_ed":
+        if not args.ckpt_dir:
+            raise SystemExit("ours_ed sampling requires --ckpt_dir")
+        from layout2img_tpu.models.discriminators import make_discriminator
+        from layout2img_tpu.models.generators import BgFgGenerator
+        from layout2img_tpu.train.step_bgfg import (
+            create_bgfg_state,
+            make_bgfg_sample_fn,
+        )
+
+        gen = BgFgGenerator(num_fg_classes=91, num_bg_classes=num_classes - 91, ch=args.ch)
+        disc = make_discriminator("d64", num_classes, ch=args.ch)
+        state = create_bgfg_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
+        state = CheckpointManager(args.ckpt_dir).restore(state)
+        sample = jax.jit(make_bgfg_sample_fn(gen, cfg, truncation=args.truncation))
     elif args.torch_ckpt:
         # run a reference .pth directly: legacy_attention reproduces the
         # reference's attention-concat scramble its checkpoints need
@@ -130,21 +153,30 @@ def main(argv=None):
     if getattr(state, "ema_params", None) is not None:
         g_params = state.ema_params
 
+    if args.model == "ours_ed":
+        from layout2img_tpu.data.coco import split_fg_bg_batch
+
+        def draw(batch, srng):
+            sb = jax.tree_util.tree_map(jnp.asarray, split_fg_bg_batch(batch))
+            return sample(g_params, state.g_state, sb, srng)
+    else:
+        def draw(batch, srng):
+            return sample(g_params, state.g_state, jnp.asarray(batch["boxes"]),
+                          jnp.asarray(batch["labels"]), srng)
+
     rng = jax.random.PRNGKey(args.seed)
     idx = 0
     for batch in loader:
-        boxes = jnp.asarray(batch["boxes"])
-        labels = jnp.asarray(batch["labels"])
         for j in range(args.num_img):
             rng, srng = jax.random.split(rng)
-            imgs = np.asarray(sample(g_params, state.g_state, boxes, labels, srng))
+            imgs = np.asarray(draw(batch, srng))
             imgs = np.clip(imgs * 0.5 + 0.5, 0, 1)
             for k in range(imgs.shape[0]):
                 out = (imgs[k] * 255).astype(np.uint8)
                 PIL.Image.fromarray(out).save(
                     os.path.join(args.sample_path, f"sample{idx + k}_numb{j}.jpg")
                 )
-        idx += boxes.shape[0]
+        idx += batch["labels"].shape[0]
         if args.max_layouts and idx >= args.max_layouts:
             break
     print(f"wrote {idx} layouts x {args.num_img} samples to {args.sample_path}")

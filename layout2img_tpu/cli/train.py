@@ -259,30 +259,15 @@ def main_special(args):
     rng = jax.random.PRNGKey(args.seed)
 
     if args.model == "ours_ed":
-        import optax
-
-        from layout2img_tpu.data.coco import split_fg_bg
+        from layout2img_tpu.data.coco import split_fg_bg_batch
         from layout2img_tpu.losses.perceptual import VGGLoss, load_torch_vgg19_features
         from layout2img_tpu.models.discriminators import make_discriminator
         from layout2img_tpu.models.generators import BgFgGenerator
-        from layout2img_tpu.train.state import GANTrainState, TrainConfig
-        from layout2img_tpu.train.step_bgfg import make_bgfg_train_step
+        from layout2img_tpu.train.state import TrainConfig
+        from layout2img_tpu.train.step_bgfg import create_bgfg_state, make_bgfg_train_step
 
         args.fg_bg = True
         loader = build_dataset(args, num_objects)
-
-        def with_split(batch):
-            if "labels_fg" in batch:
-                return batch
-            import numpy as np
-
-            extra = {k: [] for k in ("labels_fg", "boxes_fg", "labels_bg", "boxes_bg")}
-            for i in range(batch["labels"].shape[0]):
-                spl = split_fg_bg(batch["labels"][i], batch["boxes"][i])
-                for k in extra:
-                    extra[k].append(spl[k])
-            batch.update({k: np.stack(v) for k, v in extra.items()})
-            return batch
 
         gen = BgFgGenerator(num_fg_classes=91, num_bg_classes=num_classes - 91, ch=args.ch)
         disc = make_discriminator("d64", num_classes, ch=args.ch)
@@ -293,29 +278,11 @@ def main_special(args):
             params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None
             vgg = VGGLoss(params)
 
-        example = with_split(next(iter(loader)))
+        example = split_fg_bg_batch(next(iter(loader)))
         example = jax.tree_util.tree_map(jnp.asarray, example)
-        b, o = example["labels"].shape
-        z = jnp.zeros((b, o, cfg.z_dim))
-        z_im = jnp.zeros((b, cfg.z_dim))
-        g_vars = dict(jax.jit(gen.init)(
-            rng, z, example["boxes_fg"], example["labels_fg"],
-            z, example["boxes_bg"], example["labels_bg"], z_im, z_im,
-        ))
-        d_vars = dict(jax.jit(disc.init)(
-            rng, example["images"], example["boxes"], example["labels"]
-        ))
-        g_params, d_params = g_vars.pop("params"), d_vars.pop("params")
-        g_tx = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2)
-        d_tx = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2)
-        state = GANTrainState(
-            step=jnp.zeros((), jnp.int32), g_params=g_params, g_state=g_vars,
-            d_params=d_params, d_state=d_vars,
-            g_opt_state=jax.jit(g_tx.init)(g_params),
-            d_opt_state=jax.jit(d_tx.init)(d_params), g_tx=g_tx, d_tx=d_tx,
-        )
+        state = create_bgfg_state(rng, gen, disc, example, cfg)
         step_fn = jax.jit(make_bgfg_train_step(gen, disc, cfg, vgg_loss=vgg), donate_argnums=(0,))
-        prepare = with_split
+        prepare = split_fg_bg_batch
     else:  # layout2im
         from layout2img_tpu.models.layout2im import (
             Layout2ImGenerator,

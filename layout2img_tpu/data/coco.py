@@ -199,6 +199,19 @@ def split_fg_bg(labels: np.ndarray, boxes: np.ndarray) -> dict:
     return out
 
 
+def split_fg_bg_batch(batch: dict) -> dict:
+    """Apply ``split_fg_bg`` across a stacked batch (adds labels_/boxes_
+    fg/bg keys if absent)."""
+    if "labels_fg" in batch:
+        return batch
+    extra = {k: [] for k in ("labels_fg", "boxes_fg", "labels_bg", "boxes_bg")}
+    for i in range(batch["labels"].shape[0]):
+        spl = split_fg_bg(batch["labels"][i], batch["boxes"][i])
+        for k in extra:
+            extra[k].append(spl[k])
+    return {**batch, **{k: np.stack(v) for k, v in extra.items()}}
+
+
 class HostDataLoader:
     """Thread-prefetched, shuffled, fixed-shape batch iterator."""
 

@@ -20,6 +20,55 @@ from layout2img_tpu.losses.gan import g_adv, hinge_d_fake, hinge_d_real
 from layout2img_tpu.train.state import GANTrainState, TrainConfig
 
 
+def create_bgfg_state(
+    rng: jax.Array, generator, discriminator, example_batch: dict, config: TrainConfig
+) -> GANTrainState:
+    """Initialize the two-stream G (8 inputs) + 64px D and their optimizers.
+    example_batch must carry the fg/bg splits (data.coco.split_fg_bg_batch)."""
+    b, o = example_batch["labels"].shape
+    z = jnp.zeros((b, o, config.z_dim))
+    z_im = jnp.zeros((b, config.z_dim))
+    g_vars = dict(jax.jit(generator.init)(
+        rng, z, example_batch["boxes_fg"], example_batch["labels_fg"],
+        z, example_batch["boxes_bg"], example_batch["labels_bg"], z_im, z_im,
+    ))
+    d_vars = dict(jax.jit(discriminator.init)(
+        rng, example_batch["images"], example_batch["boxes"], example_batch["labels"]
+    ))
+    g_params, d_params = g_vars.pop("params"), d_vars.pop("params")
+    g_tx = optax.adam(config.g_lr, b1=config.beta1, b2=config.beta2)
+    d_tx = optax.adam(config.d_lr, b1=config.beta1, b2=config.beta2)
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32), g_params=g_params, g_state=g_vars,
+        d_params=d_params, d_state=d_vars,
+        g_opt_state=jax.jit(g_tx.init)(g_params),
+        d_opt_state=jax.jit(d_tx.init)(d_params), g_tx=g_tx, d_tx=d_tx,
+    )
+
+
+def make_bgfg_sample_fn(generator, config: TrainConfig, truncation: float = 2.0) -> Callable:
+    """Inference sampler for the two-stream model: independent truncated-
+    normal latents per stream, eval-mode BN."""
+
+    def sample(g_params, g_state, batch: dict, rng: jax.Array):
+        b, o = batch["labels"].shape
+        rngs = jax.random.split(rng, 4)
+        t = truncation
+        z_f = jax.random.truncated_normal(rngs[0], -t, t, (b, o, config.z_dim))
+        z_b = jax.random.truncated_normal(rngs[1], -t, t, (b, o, config.z_dim))
+        z_im_f = jax.random.truncated_normal(rngs[2], -t, t, (b, config.z_dim))
+        z_im_b = jax.random.truncated_normal(rngs[3], -t, t, (b, config.z_dim))
+        return generator.apply(
+            {"params": g_params, **g_state},
+            z_f, batch["boxes_fg"], batch["labels_fg"],
+            z_b, batch["boxes_bg"], batch["labels_bg"],
+            z_im_f, z_im_b,
+            train=False, update_stats=False,
+        )
+
+    return sample
+
+
 def make_bgfg_train_step(
     generator, discriminator, config: TrainConfig, vgg_loss: Callable | None = None
 ) -> Callable:
