@@ -122,7 +122,11 @@ def main(argv=None):
     sources = resolve_sources(args)
 
     if args.mode in ("is", "fid"):
-        from layout2img_tpu.eval.inception import InceptionV3, load_torch_inception_v3
+        from layout2img_tpu.eval.inception import (
+            InceptionV3,
+            load_torch_inception_v3,
+            random_inception_variables,
+        )
         from layout2img_tpu.eval.metrics import (
             fid_from_features,
             inception_score,
@@ -134,7 +138,7 @@ def main(argv=None):
             variables = load_torch_inception_v3(args.inception_weights)
         else:
             print("WARNING: no --inception_weights; random filters (numbers not comparable)")
-            variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+            variables = random_inception_variables(0)
 
         def apply(v, x):
             return net.apply(v, x)

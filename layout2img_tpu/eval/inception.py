@@ -157,6 +157,33 @@ class InceptionV3(fnn.Module):
         return feats, logits
 
 
+def random_inception_variables(seed: int = 0) -> Any:
+    """Fixed-seed random-filter variables for the zero-egress fallback.
+
+    Flax's default lecun_normal loses a factor sqrt(2) of activation scale
+    per ReLU conv; across InceptionV3's ~90 convs the pool3 features
+    collapse to ~1e-6 variance, making even *relative* FID/IS trends
+    degenerate. Rescaling every conv kernel to He magnitude keeps the
+    features non-degenerate (numbers remain non-comparable to the real
+    weights — documented fallback only)."""
+    import jax
+
+    net = InceptionV3()
+    variables = jax.jit(net.init)(jax.random.PRNGKey(seed),
+                                  jnp.zeros((1, 75, 75, 3)))
+    import math
+
+    def scale(path, x):
+        if path[-1].key == "kernel" and x.ndim == 4:
+            return x * math.sqrt(2.0)
+        return x
+
+    from jax import tree_util
+
+    params = tree_util.tree_map_with_path(scale, variables["params"])
+    return {"params": params, "batch_stats": variables["batch_stats"]}
+
+
 def load_torch_inception_v3(path: str) -> Any:
     """Convert a torchvision inception_v3 state_dict to this module's params."""
     import torch
