@@ -46,7 +46,10 @@ def main():
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 128 is the measured single-chip sweet spot on v5e (236 img/s vs
+    # 222 at batch 64; batch 256 exceeds the 16G HBM). Scan length does not
+    # change the number materially (236.2 at 50x2 vs 235.6 at 10x3).
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     scan_len = int(os.environ.get("BENCH_SCAN", "10"))
     n_scans = int(os.environ.get("BENCH_SCANS", "3"))
     num_classes, num_obj, size = 184, 8, 128
@@ -59,7 +62,8 @@ def main():
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
-    cfg = TrainConfig(mixed_precision=mixed)
+    fused_d = os.environ.get("BENCH_FUSED_D", "0") == "1"
+    cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d)
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
