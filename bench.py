@@ -63,7 +63,8 @@ def main():
 
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
     fused_d = os.environ.get("BENCH_FUSED_D", "0") == "1"
-    cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d)
+    remat = os.environ.get("BENCH_REMAT", "none")
+    cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d, remat=remat)
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))

@@ -44,6 +44,9 @@ def parse_args(argv=None):
                         "Sampling prefers EMA weights when present.")
     p.add_argument("--fused_d", action="store_true",
                    help="one 2b-batch D apply for real+fake (score-identical)")
+    p.add_argument("--remat", default="none", choices=["none", "g", "d", "gd"],
+                   help="jax.checkpoint the G forward / D applies (identical "
+                        "math; frees activation HBM for larger batches)")
     p.add_argument("--l2i_fusion", default="transformer",
                    choices=["transformer", "convlstm", "transformer_decoder"],
                    help="layout2im fusion variant (generator_app / generator "
@@ -141,7 +144,8 @@ def main(argv=None):
     loader = build_dataset(args, num_objects)
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
                       mixed_precision=args.mixed_precision,
-                      ema_decay=args.ema_decay, fused_d=args.fused_d)
+                      ema_decay=args.ema_decay, fused_d=args.fused_d,
+                      remat=args.remat)
     vgg = None
     if cfg.use_vgg_loss:
         params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None

@@ -14,6 +14,9 @@ of re-tracing G twice. Spectral-norm power iterations per step match torch:
 3 on D (real, fake-detached, fake-for-G), 1 on G; G batch stats update once.
 With ``config.fused_d`` the real/fake D passes fuse into one 2b-batch apply
 (score-identical; D runs 2 power iterations per step instead of 3).
+With ``config.remat`` ("g"/"d"/"gd") the G forward and/or each D apply are
+wrapped in ``jax.checkpoint`` — numerically identical, trades recompute for
+activation HBM to unlock larger per-chip batches.
 
 Under a `jax.sharding` mesh, jit with the batch sharded over 'data' and
 params replicated — BN stats and gradient means become cross-replica
@@ -53,6 +56,15 @@ def make_train_step(
             tree,
         )
 
+    def d_apply(d_p, d_st, imgs, bxs, lbls):
+        return discriminator.apply(
+            {"params": d_p, **d_st}, imgs, bxs, lbls, mutable=["spectral"]
+        )
+
+    if "d" in config.remat:
+        # recompute D activations in the backward pass instead of storing them
+        d_apply = jax.checkpoint(d_apply)
+
     def train_step(state: GANTrainState, batch: dict, rng: jax.Array):
         images, boxes, labels = batch["images"], batch["boxes"], batch["labels"]
         images = images.astype(compute_dtype)
@@ -63,14 +75,19 @@ def make_train_step(
         valid = (labels != 0).astype(jnp.float32)
 
         # ---- generator forward (single evaluation, vjp for the G update) ----
-        def g_forward(g_params):
-            fake, new_state = generator.apply(
-                {"params": cast(g_params), **state.g_state},
+        def g_apply(g_params, g_state, z, boxes, labels, z_im):
+            return generator.apply(
+                {"params": cast(g_params), **g_state},
                 z, boxes, labels, z_im,
                 train=True, update_stats=True,
                 mutable=["batch_stats", "spectral"],
             )
-            return fake, new_state
+
+        if "g" in config.remat:
+            g_apply = jax.checkpoint(g_apply)
+
+        def g_forward(g_params):
+            return g_apply(g_params, state.g_state, z, boxes, labels, z_im)
 
         fake, g_vjp, g_new_state = jax.vjp(g_forward, state.g_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake)
@@ -81,23 +98,17 @@ def make_train_step(
             if config.fused_d:
                 # one apply on the concatenated 2b batch: same scores (no
                 # cross-sample coupling), one spectral power iteration
-                out, ds = discriminator.apply(
-                    {"params": d_p, **state.d_state},
+                out, ds = d_apply(
+                    d_p, state.d_state,
                     jnp.concatenate([images, fake_sg]),
                     jnp.concatenate([boxes, boxes]),
                     jnp.concatenate([labels, labels]),
-                    mutable=["spectral"],
                 )
                 out_r = {k: v[:b] for k, v in out.items()}
                 out_f = {k: v[b:] for k, v in out.items()}
             else:
-                out_r, ds = discriminator.apply(
-                    {"params": d_p, **state.d_state},
-                    images, boxes, labels, mutable=["spectral"],
-                )
-                out_f, ds = discriminator.apply(
-                    {"params": d_p, **ds}, fake_sg, boxes, labels, mutable=["spectral"],
-                )
+                out_r, ds = d_apply(d_p, state.d_state, images, boxes, labels)
+                out_f, ds = d_apply(d_p, ds, fake_sg, boxes, labels)
             metrics = {
                 "d_loss_real": hinge_d_real(out_r["image"]),
                 "d_loss_fake": hinge_d_fake(out_f["image"]),
@@ -124,10 +135,7 @@ def make_train_step(
 
         # ---- G update (uses the freshly-updated D, like the reference) ----
         def g_loss_from_fake(fake_img):
-            out_g, ds = discriminator.apply(
-                {"params": cast(d_params), **d_state}, fake_img, boxes, labels,
-                mutable=["spectral"],
-            )
+            out_g, ds = d_apply(cast(d_params), d_state, fake_img, boxes, labels)
             metrics = {
                 "g_loss_fake": g_adv(out_g["image"]),
                 "g_loss_obj": g_adv(out_g["object"], valid),
