@@ -52,10 +52,17 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     scan_len = int(os.environ.get("BENCH_SCAN", "10"))
     n_scans = int(os.environ.get("BENCH_SCANS", "3"))
-    num_classes, num_obj, size = 184, 8, 128
+    # BENCH_MODEL selects any generator preset (default: flagship). The
+    # image size / mask canvas follow the preset; VG shape via BENCH_OBJ=31
+    # BENCH_CLASSES=179.
+    preset = os.environ.get("BENCH_MODEL", "ours_d_context128")
+    num_classes = int(os.environ.get("BENCH_CLASSES", "184"))
+    num_obj = int(os.environ.get("BENCH_OBJ", "8"))
+    size = 256 if "256" in preset else (64 if "64" in preset else 128)
 
-    log(f"building models (batch={batch_size}, scan={scan_len}x{n_scans}, mixed={os.environ.get('BENCH_MIXED', '1')=='1'})")
-    gen = make_generator("ours_d_context128", num_classes)
+    log(f"building models (model={preset}, batch={batch_size}, scan={scan_len}x{n_scans}, "
+        f"mixed={os.environ.get('BENCH_MIXED', '1')=='1'}, remat={os.environ.get('BENCH_REMAT', 'none')})")
+    gen = make_generator(preset, num_classes)
     disc = LayoutDiscriminator(num_classes=num_classes, image_size=size, app_head=True)
 
     batch = synthetic_batch(np.random.default_rng(0), batch_size, size, num_obj, num_classes)
@@ -105,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gan_train_step_images_per_sec_128px",
+                "metric": f"gan_train_step_images_per_sec_{size}px",
                 "value": round(img_s, 3),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / TORCH_GPU_BASELINE_IMG_S, 3),

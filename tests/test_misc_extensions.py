@@ -125,6 +125,19 @@ def test_cli_train_smoke_synthetic(tmp_path):
     assert (root / "ckpt").exists() and os.listdir(root / "ckpt")
 
 
+def test_cli_export_roundtrip(tmp_path):
+    """Export a tiny generator to a StableHLO artifact, then load and run it
+    through the same CLI (--run) — the serving path end-to-end."""
+    from layout2img_tpu.cli.export import main
+
+    out = str(tmp_path / "gen.stablehlo")
+    main(["--model", "lostgan", "--dataset", "synthetic", "--img_size", "64",
+          "--ch", "4", "--batch_size", "2", "--out", out])
+    assert (tmp_path / "gen.stablehlo").exists()
+    assert (tmp_path / "gen.stablehlo.json").exists()
+    main(["--run", out])
+
+
 def test_top_level_api():
     import layout2img_tpu as l2i
 
