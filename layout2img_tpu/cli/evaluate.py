@@ -63,7 +63,15 @@ def _npy_batches(path: str, batch_size: int, limit: int | None) -> Iterator[np.n
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
     else:
-        arr = arr.astype(np.float32)  # assumed already in [-1, 1]
+        arr = arr.astype(np.float32)
+        lo, hi = float(arr.min()), float(arr.max())
+        if hi > 2.0:  # [0, 255] floats
+            print(f"NOTE: {path} floats in [{lo:.1f}, {hi:.1f}]; rescaling from [0, 255]")
+            arr = arr / 255.0 * 2.0 - 1.0
+        elif lo >= 0.0:  # [0, 1] floats (the common save format)
+            print(f"NOTE: {path} floats in [{lo:.2f}, {hi:.2f}]; rescaling from [0, 1]")
+            arr = arr * 2.0 - 1.0
+        # else: already in [-1, 1]
     for i in range(0, arr.shape[0], batch_size):
         yield arr[i : i + batch_size]
 
@@ -174,10 +182,12 @@ def main(argv=None):
         dists = []
         for a, b in zip(sources[0][1], ref_batches):
             n = min(a.shape[0], b.shape[0])
-            if n < args.batch_size:  # tail: eager to avoid a second compile
-                dists.append(np.asarray(lp(jnp.asarray(b[:n]), jnp.asarray(a[:n]))))
-            else:
-                dists.append(np.asarray(jlp(jnp.asarray(b[:n]), jnp.asarray(a[:n]))))
+            a, b = a[:n], b[:n]
+            pad = args.batch_size - n
+            if pad:  # pad the tail: one static compiled shape, no eager dispatch
+                a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+                b = np.concatenate([b, np.zeros((pad, *b.shape[1:]), b.dtype)])
+            dists.append(np.asarray(jlp(jnp.asarray(b), jnp.asarray(a)))[:n])
         d = np.concatenate(dists)
         print(f"LPIPS: {d.mean():.4f} +/- {d.std():.4f}  (n={len(d)})")
 

@@ -153,23 +153,32 @@ def main(argv=None):
     if getattr(state, "ema_params", None) is not None:
         g_params = state.ema_params
 
+    # prep once per batch (split + H2D of only the keys the sampler reads),
+    # reused across all num_img draws
     if args.model == "ours_ed":
         from layout2img_tpu.data.coco import split_fg_bg_batch
 
-        def draw(batch, srng):
-            sb = jax.tree_util.tree_map(jnp.asarray, split_fg_bg_batch(batch))
-            return sample(g_params, state.g_state, sb, srng)
+        def prep(batch):
+            sb = split_fg_bg_batch(batch)
+            keys = ("labels", "boxes_fg", "labels_fg", "boxes_bg", "labels_bg")
+            return {k: jnp.asarray(sb[k]) for k in keys}
+
+        def draw(prepped, srng):
+            return sample(g_params, state.g_state, prepped, srng)
     else:
-        def draw(batch, srng):
-            return sample(g_params, state.g_state, jnp.asarray(batch["boxes"]),
-                          jnp.asarray(batch["labels"]), srng)
+        def prep(batch):
+            return (jnp.asarray(batch["boxes"]), jnp.asarray(batch["labels"]))
+
+        def draw(prepped, srng):
+            return sample(g_params, state.g_state, *prepped, srng)
 
     rng = jax.random.PRNGKey(args.seed)
     idx = 0
     for batch in loader:
+        prepped = prep(batch)
         for j in range(args.num_img):
             rng, srng = jax.random.split(rng)
-            imgs = np.asarray(draw(batch, srng))
+            imgs = np.asarray(draw(prepped, srng))
             imgs = np.clip(imgs * 0.5 + 0.5, 0, 1)
             for k in range(imgs.shape[0]):
                 out = (imgs[k] * 255).astype(np.uint8)

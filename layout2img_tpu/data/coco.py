@@ -252,7 +252,12 @@ class HostDataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
         if self.process_count > 1:
+            # clamp to floor(n / process_count) so every process yields the
+            # SAME batch count and shapes — a ragged final batch on one host
+            # would desync the collective batch assembly (different global
+            # shapes -> error on one process, collective hang on the others)
             order = order[self.process_id :: self.process_count]
+            order = order[: len(self.dataset) // self.process_count]
         self._epoch += 1
         n_batches = len(self)
         batches = [

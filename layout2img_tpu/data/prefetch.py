@@ -24,6 +24,7 @@ def device_prefetch(
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def put(batch):
         if put_fn is not None:
@@ -33,10 +34,14 @@ def device_prefetch(
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
     def worker():
+        # exceptions cross the thread boundary: a loader/transfer failure must
+        # surface in the training loop, not silently end the epoch early
         try:
             for batch in iterable:
                 q.put(put(batch))
-        finally:
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            q.put((_ERR, exc))
+        else:
             q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -45,4 +50,6 @@ def device_prefetch(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item

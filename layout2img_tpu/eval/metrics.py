@@ -10,10 +10,24 @@ FID external; README numbers only).
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# one jitted wrapper per apply function: a fresh jax.jit wrapper has its own
+# trace cache, so re-wrapping per call would recompile InceptionV3 once per
+# --dir_list/--superdir source (minutes each on the tunneled TPU)
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jitted(fn):
+    try:
+        return _JIT_CACHE.setdefault(fn, jax.jit(fn))
+    except TypeError:  # unhashable/unweakrefable callable
+        return jax.jit(fn)
 
 
 def inception_score(probs: np.ndarray, splits: int = 3) -> tuple[float, float]:
@@ -74,7 +88,7 @@ def run_inception_batches(
     never has to fit in host RAM. Tail chunks are padded to keep the
     compiled shape static."""
     feats, probs = [], []
-    jit_apply = jax.jit(inception_apply)
+    jit_apply = _jitted(inception_apply)
     for chunk in batches:
         chunk = np.asarray(chunk)
         pad = batch_size - chunk.shape[0]

@@ -37,6 +37,10 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
+            # the handler hint lets a FRESH manager read item_metadata() of
+            # existing checkpoints (otherwise it returns None before the
+            # first save/restore) — restore() relies on it for EMA detection
+            item_handlers=ocp.StandardCheckpointHandler(),
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
@@ -53,11 +57,17 @@ class CheckpointManager:
 
         EMA weights are restored whenever the checkpoint carries them (so a
         sampler built without --ema_decay still gets them); a template asking
-        for EMA that the checkpoint lacks starts the average from g_params.
+        for EMA that the checkpoint lacks starts the average from a COPY of
+        g_params (aliasing would make the donated jitted step donate the same
+        buffer twice). EMA presence is read from the checkpoint metadata, so
+        unrelated restore failures (corrupt file, wrong --ch) surface as-is.
         """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+
+        has_ema = "ema_params" in set(self._mgr.item_metadata(step).keys())
+        wants_ema = state.ema_params is not None
 
         def attempt(template: GANTrainState):
             restored = self._mgr.restore(
@@ -65,16 +75,15 @@ class CheckpointManager:
             )
             return template.replace(**restored)
 
-        try:
-            return attempt(state)
-        except Exception:
-            if state.ema_params is None:
-                # checkpoint carries EMA the template didn't ask for
-                return attempt(state.replace(ema_params=state.g_params))
-            # template asked for EMA the checkpoint lacks: restore without,
-            # then start the average from the restored generator params
+        if has_ema and not wants_ema:
+            # template slot to restore the checkpoint's EMA into
+            return attempt(state.replace(ema_params=state.g_params))
+        if wants_ema and not has_ema:
+            from layout2img_tpu.train.ema import ema_init
+
             restored = attempt(state.replace(ema_params=None))
-            return restored.replace(ema_params=restored.g_params)
+            return restored.replace(ema_params=ema_init(restored.g_params))
+        return attempt(state)
 
     def close(self):
         self._mgr.close()

@@ -113,6 +113,31 @@ def test_host_loader_batches(coco_fixture):
         assert b["labels"].shape == (4, 8)
 
 
+def test_host_loader_multiprocess_consistent_batches():
+    """With drop_last=False and process_count>1, every process must yield the
+    SAME batch count and shapes (a ragged final batch on one host would
+    desync the collective batch assembly), over disjoint indices."""
+
+    class Toy:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    loaders = [
+        HostDataLoader(Toy(), batch_size=4, shuffle=False, drop_last=False,
+                       process_id=p, process_count=2, num_threads=1)
+        for p in range(2)
+    ]
+    out = [list(l) for l in loaders]
+    assert len(out[0]) == len(out[1]) == len(loaders[0]) == 2
+    for b0, b1 in zip(*out):
+        assert b0["x"].shape == b1["x"].shape
+    seen = [float(b["x"][i, 0]) for o in out for b in o for i in range(b["x"].shape[0])]
+    assert len(set(seen)) == len(seen) == 10  # disjoint; one leftover row dropped
+
+
 @pytest.fixture
 def vg_fixture(tmp_path, rng):
     import h5py

@@ -108,6 +108,50 @@ def test_device_prefetch(rng):
         np.testing.assert_array_equal(np.asarray(a["x"]), b["x"])
 
 
+def test_device_prefetch_propagates_errors():
+    """A loader/transfer failure must raise in the training loop, not
+    silently end the epoch early (the worker used to swallow it)."""
+    import pytest
+
+    from layout2img_tpu.data.prefetch import device_prefetch
+
+    def gen():
+        yield {"x": np.ones(2, np.float32)}
+        raise RuntimeError("loader failed")
+
+    it = device_prefetch(gen(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader failed"):
+        next(it)
+
+
+def test_npy_batches_float_range_detection(tmp_path):
+    """--npy floats in [0,1] / [0,255] are rescaled to the [-1,1] Inception
+    domain instead of silently passing through."""
+    from layout2img_tpu.cli.evaluate import _npy_batches
+
+    arr01 = np.random.default_rng(0).random((4, 8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "a.npy")
+    np.save(p, arr01)
+    out = np.concatenate(list(_npy_batches(p, 2, None)))
+    np.testing.assert_allclose(out, arr01 * 2 - 1, rtol=1e-6)
+
+    arr_pm1 = arr01 * 2 - 1  # already [-1,1]: pass-through
+    np.save(p, arr_pm1)
+    out = np.concatenate(list(_npy_batches(p, 2, None)))
+    np.testing.assert_allclose(out, arr_pm1, rtol=1e-6)
+
+    arr255 = arr01 * 255.0  # [0,255] floats
+    np.save(p, arr255)
+    out = np.concatenate(list(_npy_batches(p, 2, None)))
+    np.testing.assert_allclose(out, arr01 * 2 - 1, rtol=1e-5)
+
+    arr8 = (arr01 * 255).astype(np.uint8)
+    np.save(p, arr8)
+    out = np.concatenate(list(_npy_batches(p, 2, None)))
+    np.testing.assert_allclose(out, arr8.astype(np.float32) / 255 * 2 - 1)
+
+
 def test_cli_train_smoke_synthetic(tmp_path):
     """The CLI surface end-to-end on a minimal config (also covered by the
     project verify skill; kept here so the suite exercises it)."""

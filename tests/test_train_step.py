@@ -177,6 +177,17 @@ def test_ema_updates_and_roundtrips(rng, tmp_path):
     )
     ckpt.close()
 
+    # restore an EMA-LESS checkpoint into an EMA template: the average must
+    # start from a COPY of the restored g_params — aliasing the same buffer
+    # into both fields would make the donated jitted step donate it twice
+    ckpt2 = CheckpointManager(str(tmp_path / "ckpt2"))
+    ckpt2.save(jax.device_get(s0))  # s0 trained without EMA
+    restored2 = ckpt2.restore(state)  # template built with ema_decay
+    l_g, l_e = leaf(restored2.g_params), leaf(restored2.ema_params)
+    np.testing.assert_allclose(np.asarray(l_e), np.asarray(l_g))
+    assert l_e.unsafe_buffer_pointer() != l_g.unsafe_buffer_pointer()
+    ckpt2.close()
+
 
 def test_sampler(rng):
     gen, disc, batch, cfg, state, step = _tiny_setup(rng)
