@@ -103,8 +103,11 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_scans):
         state, losses = jit_multi(state, batch, jax.random.split(jax.random.PRNGKey(2 + i), scan_len))
-    jax.block_until_ready(losses)
+    # value readback, not just block_until_ready: on the axon tunnel the
+    # latter can return before remote execution completes
+    final_loss = float(losses[-1])
     dt = time.perf_counter() - t0
+    log(f"final d_loss {final_loss:.3f}")
 
     steps = scan_len * n_scans
     img_s = batch_size * steps / dt

@@ -36,8 +36,15 @@ class VgLayoutDataset:
         use_orphaned_objects: bool = True,
         max_samples: int | None = None,
         seed: int = 0,
+        use_native: bool | None = None,
     ):
         import h5py
+
+        if use_native is None:
+            from layout2img_tpu.data import native
+
+            use_native = native.native_available()
+        self.use_native = use_native
 
         self.image_dir = image_dir
         self.image_size = image_size
@@ -77,15 +84,26 @@ class VgLayoutDataset:
             index -= n
 
         path = os.path.join(self.image_dir, self.image_paths[index])
-        with open(path, "rb") as f:
-            with PIL.Image.open(f) as img:
-                if flip:
-                    img = PIL.ImageOps.mirror(img)
-                iw, ih = img.size
-                img = img.convert("RGB").resize(
-                    (self.image_size, self.image_size), PIL.Image.BILINEAR
-                )
-                image = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+        image = None
+        if self.use_native and path.lower().endswith((".jpg", ".jpeg")):
+            from layout2img_tpu.data import native
+
+            try:
+                image = native.load_image(path, self.image_size, flip)
+                with PIL.Image.open(path) as img:
+                    iw, ih = img.size  # header only, no decode
+            except OSError:
+                image = None  # fall back to PIL (e.g. non-JPEG bytes)
+        if image is None:
+            with open(path, "rb") as f:
+                with PIL.Image.open(f) as img:
+                    if flip:
+                        img = PIL.ImageOps.mirror(img)
+                    iw, ih = img.size
+                    img = img.convert("RGB").resize(
+                        (self.image_size, self.image_size), PIL.Image.BILINEAR
+                    )
+                    image = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
 
         num_objs = int(self.data["objects_per_image"][index])
         with_rels: set[int] = set()

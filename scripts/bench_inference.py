@@ -16,7 +16,22 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-K = 20
+import os
+
+K = int(os.environ.get("BENCH_K", "500"))
+
+
+def readback_floor() -> float:
+    """Median latency of a trivial dispatch+scalar readback over the axon
+    tunnel (~0.1s here) — subtracted from timed runs so the single final
+    readback does not pollute per-batch numbers."""
+    ts = []
+    for i in range(3):
+        y = jax.jit(lambda s: s * 2 + 1)(jnp.float32(i + 17))
+        t0 = time.perf_counter()
+        _ = float(y)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
 
 
 def bench(name, fn, args, batch):
@@ -27,13 +42,18 @@ def bench(name, fn, args, batch):
         return jax.lax.scan(body, 0, rngs)[1]
 
     j = jax.jit(many)
-    rngs = jax.random.split(jax.random.PRNGKey(0), K)
-    out = j(rngs)
-    jax.block_until_ready(out)
+    out = j(jax.random.split(jax.random.PRNGKey(0), K))
+    _ = float(out[-1])
+    # fresh rngs for the timed call (the axon service memoizes identical
+    # executable+args calls) and a value readback instead of
+    # block_until_ready (which can return before remote execution completes);
+    # the one readback's tunnel latency is measured and subtracted
+    floor = readback_floor()
+    rngs = jax.random.split(jax.random.PRNGKey(1), K)
     t0 = time.perf_counter()
     out = j(rngs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / K
+    _ = float(out[-1])
+    dt = max(time.perf_counter() - t0 - floor, 1e-9) / K
     print(f"{name}: {dt * 1000:7.2f} ms/batch  ({batch / dt:8.1f} img/s/chip)")
 
 

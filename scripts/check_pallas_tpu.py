@@ -37,23 +37,31 @@ def main():
         print(f"shape b{b} o{o} {h}x{w}x{c} {dtype.__name__}: rel err {err:.2e}")
         assert err < (2e-2 if dtype == jnp.bfloat16 else 1e-5), err
 
-        # microbench via scan (amortize dispatch)
+        # microbench via scan (amortize dispatch). The carry feeds the input
+        # so XLA cannot hoist the loop-invariant op out of the scan; the seed
+        # arg keeps the timed call distinct from the warmup call (the axon
+        # service memoizes identical executable+args calls); a VALUE readback
+        # replaces block_until_ready (which can return before remote
+        # execution completes).
         def many(f):
-            def run(args, n=50):
-                def body(carry, _):
-                    out = f(*args)
-                    return carry, out[0, 0, 0, 0]
+            def run(args, seed, n=50):
+                xn_, mask_, gamma_, beta_ = args
 
-                return jax.lax.scan(body, 0, None, length=n)[1]
+                def body(carry, _):
+                    out = f(xn_ + carry, mask_, gamma_, beta_)
+                    s = out[0, 0, 0, 0]
+                    return s.astype(xn_.dtype) * 1e-6, s
+
+                return jax.lax.scan(body, seed.astype(xn_.dtype), None, length=n)[1]
 
             return jax.jit(run)
 
         for name, f in (("pallas", fused), ("xla", ref)):
-            r = many(f)((xn, mask, gamma, beta))
-            jax.block_until_ready(r)
+            r = many(f)((xn, mask, gamma, beta), jnp.float32(0))
+            _ = float(r[-1])
             t0 = time.perf_counter()
-            r = many(f)((xn, mask, gamma, beta))
-            jax.block_until_ready(r)
+            r = many(f)((xn, mask, gamma, beta), jnp.float32(1))
+            _ = float(r[-1])
             dt = (time.perf_counter() - t0) / 50
             print(f"  {name}: {dt * 1e6:8.1f} us/call")
 

@@ -113,6 +113,23 @@ def test_host_loader_batches(coco_fixture):
         assert b["labels"].shape == (4, 8)
 
 
+def test_vg_native_decode_matches_pil(vg_fixture):
+    from layout2img_tpu.data import native
+    from layout2img_tpu.data.vg import VgLayoutDataset
+
+    if not native.native_available():
+        pytest.skip("native data plane unavailable")
+    vocab, h5, img_dir = vg_fixture
+    ds_nat = VgLayoutDataset(vocab, h5, img_dir, image_size=32, max_objects=4,
+                             use_native=True)
+    ds_pil = VgLayoutDataset(vocab, h5, img_dir, image_size=32, max_objects=4,
+                             use_native=False)
+    a, b = ds_nat[0], ds_pil[0]
+    np.testing.assert_allclose(a["images"], b["images"], atol=2 / 255)
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    np.testing.assert_allclose(a["boxes"], b["boxes"])
+
+
 def test_host_loader_multiprocess_consistent_batches():
     """With drop_last=False and process_count>1, every process must yield the
     SAME batch count and shapes (a ragged final batch on one host would
