@@ -121,6 +121,9 @@ def main(argv=None):
                    help="resize decoded images (0 = keep; batches must be uniform)")
     p.add_argument("--inception_weights", default="", help="torchvision inception_v3 .pth")
     p.add_argument("--lpips_weights", default="")
+    p.add_argument("--lpips_backbone", default="",
+                   help="torchvision alexnet .pth (needed when --lpips_weights "
+                        "is the official lins-only lpips checkpoint)")
     args = p.parse_args(argv)
 
     import jax
@@ -174,7 +177,9 @@ def main(argv=None):
             raise SystemExit("lpips takes a single input source")
         if not args.ref_dir:
             raise SystemExit("lpips requires --ref_dir")
-        lp = LPIPS(load_torch_lpips(args.lpips_weights) if args.lpips_weights else None)
+        lp = LPIPS(
+            load_torch_lpips(args.lpips_weights, args.lpips_backbone or None)
+            if args.lpips_weights else None)
         ref_batches = iter_file_batches(
             list_images(args.ref_dir, limit), args.batch_size, args.resize
         )

@@ -88,7 +88,10 @@ def main(argv=None):
                  "labels": labels0, "boxes": boxes0}
         state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, cfg)
         state = CheckpointManager(args.ckpt_dir).restore(state)
-        params, g_state = state.g_params, state.g_state
+        # prefer EMA weights when the checkpoint carries them, matching
+        # cli.sample — the artifact must serve the same images
+        params = state.ema_params if state.ema_params is not None else state.g_params
+        g_state = state.g_state
     else:
         print("WARNING: no --ckpt_dir; exporting randomly-initialized params")
         variables = dict(variables)

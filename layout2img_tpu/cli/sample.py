@@ -23,8 +23,12 @@ def parse_args(argv=None):
     p.add_argument("--torch_ckpt", default="", help="reference .pth generator checkpoint")
     p.add_argument("--sample_path", default="./samples")
     p.add_argument("--num_img", type=int, default=5)
-    p.add_argument("--img_size", type=int, default=128)
+    p.add_argument("--img_size", type=int, default=0,
+                   help="0 = the model preset's native size")
     p.add_argument("--ch", type=int, default=64)
+    p.add_argument("--l2i_fusion", default="transformer",
+                   choices=["transformer", "convlstm", "transformer_decoder"],
+                   help="layout2im fusion variant — must match training")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_layouts", type=int, default=0)
     p.add_argument("--truncation", type=float, default=2.0)
@@ -38,12 +42,21 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def pad_tail(batch, target):
+    """Edge-pad a ragged final batch to the compiled shape (one static
+    shape => no second multi-minute compile for the tail)."""
+    n = np.asarray(batch["labels"]).shape[0]
+    if n == target:
+        return batch, n
+    reps = np.concatenate([np.arange(n), np.full(target - n, n - 1)])
+    return {k: np.asarray(v)[reps] for k, v in batch.items()}, n
+
+
 def main(argv=None):
     import PIL.Image
 
     from layout2img_tpu.cli.presets import EXPERIMENTS, dataset_spec
     from layout2img_tpu.cli.train import build_dataset
-    from layout2img_tpu.data.coco import HostDataLoader
     from layout2img_tpu.models.discriminators import make_discriminator
     from layout2img_tpu.models.generators import make_generator
     from layout2img_tpu.train.checkpoint import CheckpointManager
@@ -54,14 +67,15 @@ def main(argv=None):
     num_classes, num_objects = dataset_spec(args.dataset)
     cfg = TrainConfig(use_vgg_loss=False)
 
+    exp_size = EXPERIMENTS[args.model].image_size
+    if args.img_size == 0:
+        args.img_size = exp_size  # build the model at its native size
     args.steps_per_epoch = 4
     if args.model == "ours_ed":
         args.fg_bg = True
-        args.img_size = 64
-    loader = build_dataset(args, num_objects)
-    if isinstance(loader, HostDataLoader):
-        loader.shuffle = False
-    example = next(iter(loader))
+    # eval protocol: plain val split, in order, no flip doubling, keep tail
+    loader = build_dataset(args, num_objects, eval_mode=True)
+    example, _ = pad_tail(next(iter(loader)), args.batch_size)
     if args.model == "ours_ed":
         from layout2img_tpu.data.coco import split_fg_bg_batch
 
@@ -82,7 +96,7 @@ def main(argv=None):
             create_layout2im_state,
         )
 
-        gen = Layout2ImGenerator(num_classes=num_classes)
+        gen = Layout2ImGenerator(num_classes=num_classes, fusion=args.l2i_fusion)
         l2i_cfg = Layout2ImConfig()
         state = create_layout2im_state(
             jax.random.PRNGKey(0), gen,
@@ -175,17 +189,18 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     idx = 0
     for batch in loader:
+        batch, n = pad_tail(batch, args.batch_size)
         prepped = prep(batch)
         for j in range(args.num_img):
             rng, srng = jax.random.split(rng)
-            imgs = np.asarray(draw(prepped, srng))
+            imgs = np.asarray(draw(prepped, srng))[:n]
             imgs = np.clip(imgs * 0.5 + 0.5, 0, 1)
             for k in range(imgs.shape[0]):
                 out = (imgs[k] * 255).astype(np.uint8)
                 PIL.Image.fromarray(out).save(
                     os.path.join(args.sample_path, f"sample{idx + k}_numb{j}.jpg")
                 )
-        idx += batch["labels"].shape[0]
+        idx += n
         if args.max_layouts and idx >= args.max_layouts:
             break
     print(f"wrote {idx} layouts x {args.num_img} samples to {args.sample_path}")

@@ -63,7 +63,9 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_dataset(args, num_objects):
+def build_dataset(args, num_objects, eval_mode: bool = False):
+    """eval_mode: no flip doubling, no shuffling, keep the tail batch —
+    the reference's test_* protocol iterates the plain val split in order."""
     from layout2img_tpu.data.coco import CocoLayoutDataset, HostDataLoader
     from layout2img_tpu.data.synthetic import SyntheticLayoutDataset
     from layout2img_tpu.data.vg import VgLayoutDataset
@@ -71,19 +73,21 @@ def build_dataset(args, num_objects):
     # multi-host: each process loads a disjoint shard of the global batch
     # (batch_size is per-process; see scripts/launch_multihost.py)
     proc = dict(process_id=jax.process_index(), process_count=jax.process_count())
+    load = dict(shuffle=not eval_mode, drop_last=not eval_mode)
     if args.dataset == "coco":
         ds = CocoLayoutDataset(
             args.coco_image_dir, args.coco_instances, args.coco_stuff,
-            image_size=args.img_size, left_right_flip=True,
+            image_size=args.img_size, left_right_flip=not eval_mode,
             fg_bg_split=getattr(args, "fg_bg", False),
         )
-        return HostDataLoader(ds, args.batch_size, seed=args.seed, **proc)
+        return HostDataLoader(ds, args.batch_size, seed=args.seed, **load, **proc)
     if args.dataset == "vg":
         ds = VgLayoutDataset(
             args.vg_vocab, args.vg_h5, args.vg_image_dir,
-            image_size=args.img_size, max_objects=num_objects - 1, left_right_flip=True,
+            image_size=args.img_size, max_objects=num_objects - 1,
+            left_right_flip=not eval_mode,
         )
-        return HostDataLoader(ds, args.batch_size, seed=args.seed, **proc)
+        return HostDataLoader(ds, args.batch_size, seed=args.seed, **load, **proc)
     steps = args.steps_per_epoch or 50
     return SyntheticLayoutDataset(
         args.batch_size, args.img_size, num_objects,
@@ -135,8 +139,9 @@ def main(argv=None):
         )
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
-    logger = setup_logger("layout2img_tpu", out_dir)
-    writer = MetricWriter(out_dir)
+    rank = jax.process_index()
+    logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
+    writer = MetricWriter(out_dir, rank=rank)
 
     gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
     disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
@@ -258,8 +263,9 @@ def main_special(args):
     args.img_size = 64
     num_classes, num_objects = dataset_spec(args.dataset)
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
-    logger = setup_logger("layout2img_tpu", out_dir)
-    writer = MetricWriter(out_dir)
+    rank = jax.process_index()
+    logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
+    writer = MetricWriter(out_dir, rank=rank)
     rng = jax.random.PRNGKey(args.seed)
 
     if args.model == "ours_ed":

@@ -124,6 +124,8 @@ class CocoLayoutDataset:
         self.vocab_size = 1 + max(idx_to_name) if idx_to_name else 1  # 0 == __image__
 
     def __len__(self) -> int:
+        # reference semantics (cocostuff_loader.py:215-220): max_samples caps
+        # at the UNflipped count — setting it disables the flip doubling
         n = len(self.image_ids)
         if self.max_samples is not None:
             return min(n, self.max_samples)

@@ -52,7 +52,10 @@ class VgLayoutDataset:
         self.left_right_flip = left_right_flip
         self.use_orphaned = use_orphaned_objects
         self.max_samples = max_samples
-        self.rng = np.random.default_rng(seed)
+        # NOTE: __getitem__ runs concurrently in HostDataLoader's thread pool
+        # and numpy Generators are not thread-safe — each item derives its own
+        # generator from (seed, index), which is also reproducible per item
+        self.seed = seed
 
         with open(vocab_json) as f:
             self.vocab = json.load(f)
@@ -69,6 +72,8 @@ class VgLayoutDataset:
                     self.data[k] = np.asarray(v)
 
     def __len__(self) -> int:
+        # reference semantics (data/vg.py:63-69): max_samples caps at the
+        # UNflipped count — setting it disables the flip doubling
         n = self.data["object_names"].shape[0]
         if self.max_samples is not None:
             return min(self.max_samples, n)
@@ -115,14 +120,15 @@ class VgLayoutDataset:
             without_rels.discard(s)
             without_rels.discard(o)
 
+        rng = np.random.default_rng((self.seed, index))
         obj_idxs = list(with_rels)
         orphans = list(without_rels)
         if len(obj_idxs) > self.max_objects - 1:
-            obj_idxs = list(self.rng.choice(obj_idxs, self.max_objects, replace=False))
+            obj_idxs = list(rng.choice(obj_idxs, self.max_objects, replace=False))
         if len(obj_idxs) < self.max_objects - 1 and self.use_orphaned:
             add = min(self.max_objects - 1 - len(obj_idxs), len(orphans))
             if add:
-                obj_idxs += list(self.rng.choice(orphans, add, replace=False))
+                obj_idxs += list(rng.choice(orphans, add, replace=False))
 
         o_slots = self.max_objects + 1
         labels = np.zeros(o_slots, np.int32)

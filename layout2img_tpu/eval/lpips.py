@@ -74,33 +74,56 @@ class LPIPS:
         return total
 
 
-def load_torch_lpips(path: str) -> Any:
-    """Convert an official lpips AlexNet checkpoint (net + lin weights)."""
+def load_torch_lpips(path: str, backbone_path: str | None = None) -> Any:
+    """Convert lpips AlexNet weights to the Flax layout.
+
+    Accepted formats (all real-world layouts):
+    - full ``lpips.LPIPS(net='alex').state_dict()``: ``net.sliceK.N.weight``
+      backbone keys (N is the GLOBAL torchvision features index — lpips's
+      ``add_module(str(x), features[x])`` preserves it) + ``linN.model.1.weight``;
+    - the official per-net .pth shipped in the lpips package: ONLY
+      ``linN.model.1.weight`` — the AlexNet backbone must then come from a
+      torchvision ``alexnet`` state_dict via ``backbone_path``;
+    - a plain torchvision alexnet state_dict (``features.N.weight``), with or
+      without merged lin keys.
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu")
+    if backbone_path:
+        sd = {**torch.load(backbone_path, map_location="cpu"), **sd}
     params: dict = {}
     lins: list = [None] * 5
-    for k, v in sd.items():
-        arr = v.numpy()
-        if ".model." in k and "weight" in k:  # linN.model.1.weight: (1, c, 1, 1)
-            idx = int(k.split(".")[0].replace("lin", ""))
-            lins[idx] = jnp.asarray(arr[0, :, 0, 0])
-        elif "net." in k or "slice" in k or k.startswith("features"):
-            # alexnet conv weights, ordered conv0..conv4
-            pass
-    # backbone weights ship separately (torchvision alexnet.features)
+    # conv positions within torchvision alexnet.features
     conv_map = {0: "conv0", 3: "conv1", 6: "conv2", 8: "conv3", 10: "conv4"}
     for k, v in sd.items():
         parts = k.split(".")
-        if parts[0] == "features" and int(parts[1]) in conv_map:
-            name = conv_map[int(parts[1])]
-            if parts[2] == "weight":
-                params.setdefault(name, {})["kernel"] = jnp.asarray(
-                    v.numpy().transpose(2, 3, 1, 0)
-                )
-            else:
-                params.setdefault(name, {})["bias"] = jnp.asarray(v.numpy())
+        if ".model." in k and parts[-1] == "weight" and parts[0].startswith("lin"):
+            # linN.model.1.weight: (1, c, 1, 1)
+            lins[int(parts[0].replace("lin", ""))] = jnp.asarray(v.numpy()[0, :, 0, 0])
+            continue
+        if parts[-1] not in ("weight", "bias"):
+            continue
+        idx = None
+        if parts[0] == "features" and parts[1].isdigit():
+            idx = int(parts[1])
+        elif len(parts) >= 3 and parts[-3].startswith("slice") and parts[-2].isdigit():
+            idx = int(parts[-2])  # net.sliceK.<global features idx>.weight
+        if idx is None or idx not in conv_map:
+            continue
+        name = conv_map[idx]
+        if parts[-1] == "weight":
+            params.setdefault(name, {})["kernel"] = jnp.asarray(
+                v.numpy().transpose(2, 3, 1, 0)
+            )
+        else:
+            params.setdefault(name, {})["bias"] = jnp.asarray(v.numpy())
+    missing = [n for n in conv_map.values() if "kernel" not in params.get(n, {})]
+    if missing:
+        raise ValueError(
+            f"{path} carries no AlexNet backbone weights for {missing} (the "
+            "official lpips .pth ships only the lin heads). Pass a torchvision "
+            "alexnet state_dict via backbone_path / --lpips_backbone.")
     if any(l is None for l in lins):
         lins = [jnp.full((c,), 1.0 / c) for c in _ALEX_CHANNELS]
     return {"params": params, "lins": lins}

@@ -24,10 +24,16 @@ _JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _jitted(fn):
+    def feats_and_probs(variables, x):
+        f, logits = fn(variables, x)
+        # softmax INSIDE the jit: an eager per-batch softmax would cost
+        # several tunnel dispatches per chunk (CLAUDE.md environment rule)
+        return f, jax.nn.softmax(logits, axis=-1)
+
     try:
-        return _JIT_CACHE.setdefault(fn, jax.jit(fn))
+        return _JIT_CACHE.setdefault(fn, jax.jit(feats_and_probs))
     except TypeError:  # unhashable/unweakrefable callable
-        return jax.jit(fn)
+        return jax.jit(feats_and_probs)
 
 
 def inception_score(probs: np.ndarray, splits: int = 3) -> tuple[float, float]:
@@ -46,15 +52,27 @@ def inception_score(probs: np.ndarray, splits: int = 3) -> tuple[float, float]:
 
 
 def frechet_distance(
-    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
+    eps: float = 1e-6,
 ) -> float:
-    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2))."""
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)).
+
+    Rank-deficient covariances (fewer samples than feature dims, the usual
+    case below ~2049 images) make sqrtm(s1 s2) numerically unstable; retry
+    with eps-regularized diagonals like pytorch-fid when that happens."""
     import scipy.linalg
 
     diff = mu1 - mu2
     covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
+    if not np.isfinite(covmean).all():
+        print(f"WARNING: singular product of covariances; adding eps={eps} "
+              "to the diagonals (sample count likely < feature dim)")
+        off = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + off) @ (sigma2 + off))
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 
 
@@ -94,8 +112,7 @@ def run_inception_batches(
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        f, logits = jit_apply(variables, jnp.asarray(chunk))
-        p = jax.nn.softmax(logits, axis=-1)
+        f, p = jit_apply(variables, jnp.asarray(chunk))
         feats.append(np.asarray(f)[: batch_size - pad])
         probs.append(np.asarray(p)[: batch_size - pad])
     if not feats:

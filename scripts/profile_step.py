@@ -23,7 +23,7 @@ from layout2img_tpu.train.state import TrainConfig, create_train_state
 from layout2img_tpu.train.step import make_train_step
 
 B, O, S, NC = 16, 8, 128, 184
-K = 10
+K = 50
 
 
 def _readback(out):
@@ -33,14 +33,29 @@ def _readback(out):
     return float(np.asarray(leaf[-1]).ravel()[0])
 
 
+def _floor():
+    """Median dispatch+scalar-readback round-trip (~0.1 s on this tunnel),
+    subtracted from timed regions."""
+    ts = []
+    for i in range(3):
+        y = jax.jit(lambda s: s * 2 + 1)(jnp.float32(i + 17))
+        t0 = time.perf_counter()
+        _ = float(y)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
+
+
 def timed(name, fn, warm_xs, timed_xs):
-    """Time fn(timed_xs) after warming with fn(warm_xs). The two inputs must
-    differ: the axon service memoizes identical executable+args calls."""
-    _readback(fn(warm_xs))  # compile + warm
+    """Time fn(timed_xs) after warming (with readback, so compile and the
+    warmup execution cannot leak into the timed region) with fn(warm_xs).
+    The inputs differ as anti-caching hygiene; the single readback's
+    round-trip latency is subtracted."""
+    _readback(fn(warm_xs))  # compile + warm, fully drained
+    fl = _floor()
     t0 = time.perf_counter()
     out = fn(timed_xs)
     _readback(out)
-    dt = (time.perf_counter() - t0) / K
+    dt = max(time.perf_counter() - t0 - fl, 1e-9) / K
     print(f"{name:28s} {dt * 1000:8.2f} ms/step  ({B / dt:7.1f} img/s)")
     return dt
 
@@ -112,11 +127,13 @@ def main():
             return jax.lax.scan(body, state, rngs)
 
         jmulti = jax.jit(multi)
-        st_state, _ = jmulti(state, rngs)  # compile+warm
+        st_state, losses = jmulti(state, rngs)  # compile+warm
+        _ = float(losses[-1])  # drain warmup+compile before timing
+        fl = _floor()
         t0 = time.perf_counter()
         st_state, losses = jmulti(st_state, rngs2)
         _ = float(losses[-1])  # value readback (see _readback)
-        dt = (time.perf_counter() - t0) / K
+        dt = max(time.perf_counter() - t0 - fl, 1e-9) / K
         print(f"{name:28s} {dt * 1000:8.2f} ms/step  ({B / dt:7.1f} img/s)")
 
 

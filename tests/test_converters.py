@@ -341,3 +341,30 @@ def test_lpips_converter_forward_parity(rng, tmp_path):
     metric = LPIPS(load_torch_lpips(str(path)))
     got = np.asarray(metric(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # same weights in the full lpips.LPIPS state_dict layout: slices keep the
+    # GLOBAL torchvision features index (lpips add_module(str(x), features[x]))
+    slice_of = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+    sd_full = {f"lin{li}.model.1.weight": sd[f"lin{li}.model.1.weight"]
+               for li in range(5)}
+    for idx, *_ in _ALEX_LAYERS:
+        for wb in ("weight", "bias"):
+            sd_full[f"net.slice{slice_of[idx]}.{idx}.{wb}"] = sd[f"features.{idx}.{wb}"]
+    path2 = tmp_path / "lpips_full.pth"
+    torch.save(sd_full, str(path2))
+    got2 = np.asarray(LPIPS(load_torch_lpips(str(path2)))(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-5)
+
+    # lins-only official .pth: clear error without a backbone, works with one
+    sd_lins = {f"lin{li}.model.1.weight": sd[f"lin{li}.model.1.weight"]
+               for li in range(5)}
+    path3 = tmp_path / "lpips_lins.pth"
+    torch.save(sd_lins, str(path3))
+    with pytest.raises(ValueError, match="backbone"):
+        load_torch_lpips(str(path3))
+    sd_bb = {k: v for k, v in sd.items() if k.startswith("features.")}
+    path_bb = tmp_path / "alexnet.pth"
+    torch.save(sd_bb, str(path_bb))
+    got3 = np.asarray(
+        LPIPS(load_torch_lpips(str(path3), str(path_bb)))(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got3, want, rtol=1e-4, atol=1e-5)
