@@ -126,7 +126,10 @@ class LostGANGenerator(fnn.Module):
 
         if self.stage_masks:
             hs = self.hard_mask_size or self.map_size
-            hard = bbox_mask(boxes, hs, hs)  # (b, o, hs, hs)
+            # x.dtype: keep the modulation path in the compute dtype — f32
+            # boxes would otherwise promote every stage mask (and the ISLA
+            # affine) to f32 under mixed precision
+            hard = bbox_mask(boxes, hs, hs).astype(x.dtype)  # (b, o, hs, hs)
             onehot = jax.nn.one_hot(labels, self.num_mask_classes, dtype=x.dtype)
             stage_bbox = bmask
             for i, out_mult in enumerate(out_mults):

@@ -70,14 +70,21 @@ class BoxMultiHeadedAttention(fnn.Module):
         k = k.reshape(b, o, h, d_k).transpose(0, 2, 1, 3)
         v = v.reshape(b, o, h, d_k).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d_k)
+        # NOTE: float() — a bare np scalar is strongly-typed f64->f32 and
+        # would promote bf16 logits (and everything downstream) to f32
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / float(np.sqrt(d_k))
         if labels is not None:
             key_mask = (labels != 0)[:, None, None, :]  # (b, 1, 1, o)
             logits = jnp.where(key_mask, logits, -1e9)
 
         if self.use_geometry:
             dim_g = 64 if self.trignometric else 4
-            geo = box_relational_embedding(boxes, dim_g=dim_g, trignometric=self.trignometric)
+            # embedding math runs in the boxes' dtype (f32 for precision of
+            # the log-scaled deltas); cast the finished embedding so f32
+            # boxes don't promote the whole attention under mixed precision
+            geo = box_relational_embedding(
+                boxes, dim_g=dim_g, trignometric=self.trignometric
+            ).astype(query.dtype)
             # per-head scalar geometric weight; one Dense(h) == h x Dense(1)
             w_g = fnn.Dense(h, kernel_init=fnn.initializers.orthogonal(), name="geo_proj")(geo)
             w_g = fnn.relu(w_g).transpose(0, 3, 1, 2)  # (b, h, o, o)
@@ -138,7 +145,7 @@ class MultiHeadAttention(fnn.Module):
         if labels is not None:
             key_mask = (labels != 0)[:, None, None, :]
             logits = jnp.where(key_mask, logits, -1e9)
-        logits = logits / np.power(self.d_k, 0.5)
+        logits = logits / float(np.power(self.d_k, 0.5))  # float(): keep dtype
 
         attn = jax.nn.softmax(logits, axis=-1)
         attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(attn, deterministic=deterministic)

@@ -64,7 +64,11 @@ class _SNMixin:
         sigma, new_u = spectral_sigma(w_mat, u_var.value, self.eps, update=update)
         if update and not self.is_initializing():
             u_var.value = new_u
-        return kernel / sigma
+        # keep the caller's compute dtype: sigma is f32 (power iteration runs
+        # in f32 for stability), and a bare `kernel / sigma` would silently
+        # promote a bf16 kernel — and everything downstream — to f32,
+        # defeating mixed precision for the whole network
+        return (kernel / sigma).astype(kernel.dtype)
 
 
 class SNDense(fnn.Module, _SNMixin):
@@ -149,4 +153,4 @@ class SNEmbed(fnn.Module, _SNMixin):
         sigma, new_u = spectral_sigma(w_mat, u_var.value, self.eps, update=update_stats)
         if update_stats and not self.is_initializing():
             u_var.value = new_u
-        return (table / sigma)[idx]
+        return (table / sigma).astype(table.dtype)[idx]

@@ -208,8 +208,11 @@ def masks_to_layout(boxes: jax.Array, masks: jax.Array, h: int, w: int | None = 
     sx = ((gx + 1.0) * m - 1.0) / 2.0
     sy = ((gy + 1.0) * m - 1.0) / 2.0
 
-    wx = sample_matrix_1d(sx, m)  # (b, o, w, m)
-    wy = sample_matrix_1d(sy, m)  # (b, o, h, m)
+    # coordinates/weights in f32 (bf16 positions would be ~0.5px off at 128);
+    # cast the finished matrices to the payload dtype so a bf16 pipeline
+    # stays bf16 through the matmuls
+    wx = sample_matrix_1d(sx, m).astype(masks.dtype)  # (b, o, w, m)
+    wy = sample_matrix_1d(sy, m).astype(masks.dtype)  # (b, o, h, m)
     out = jnp.einsum("bohm,bomn->bohn", wy, masks)
     return jnp.einsum("bown,bohn->bohw", wx, out)
 
@@ -237,8 +240,8 @@ def paste_boxes(crops: jax.Array, boxes: jax.Array, h: int, w: int | None = None
     gy = 2.0 * (lin_y - y0) / bh - 1.0
     sx = ((gx + 1.0) * m - 1.0) / 2.0
     sy = ((gy + 1.0) * m - 1.0) / 2.0
-    wx = sample_matrix_1d(sx, m)  # (b, o, w, m)
-    wy = sample_matrix_1d(sy, m)  # (b, o, h, m)
+    wx = sample_matrix_1d(sx, m).astype(crops.dtype)  # (b, o, w, m)
+    wy = sample_matrix_1d(sy, m).astype(crops.dtype)  # (b, o, h, m)
     rows = jnp.einsum("bohm,bomnc->bohnc", wy, crops)
     return jnp.einsum("bown,bohnc->bohwc", wx, rows)
 
@@ -267,7 +270,7 @@ def crop_boxes(images: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
     sx = ((gx + 1.0) * w - 1.0) / 2.0
     sy = ((gy + 1.0) * h - 1.0) / 2.0
 
-    wx = sample_matrix_1d(sx, w)  # (b, o, out, w)
-    wy = sample_matrix_1d(sy, h)  # (b, o, out, h)
+    wx = sample_matrix_1d(sx, w).astype(images.dtype)  # (b, o, out, w)
+    wy = sample_matrix_1d(sy, h).astype(images.dtype)  # (b, o, out, h)
     rows = jnp.einsum("boyh,bhwc->boywc", wy, images)
     return jnp.einsum("boxw,boywc->boyxc", wx, rows)

@@ -69,17 +69,21 @@ def make_train_step(
         images, boxes, labels = batch["images"], batch["boxes"], batch["labels"]
         images = images.astype(compute_dtype)
         b, o = labels.shape
-        rng_z, rng_zim = jax.random.split(rng)
+        rng_z, rng_zim, rng_drop = jax.random.split(rng, 3)
         z = jax.random.normal(rng_z, (b, o, config.z_dim), compute_dtype)
         z_im = jax.random.normal(rng_zim, (b, config.z_dim), compute_dtype)
         valid = (labels != 0).astype(jnp.float32)
 
         # ---- generator forward (single evaluation, vjp for the G update) ----
-        def g_apply(g_params, g_state, z, boxes, labels, z_im):
+        # deterministic=False + dropout rng: training runs with the model's
+        # dropout ACTIVE (reference nets train with GCN 0.5 / PSP 0.1
+        # dropout; torch .train() enables them)
+        def g_apply(g_params, g_state, z, boxes, labels, z_im, rng_drop):
             return generator.apply(
                 {"params": cast(g_params), **g_state},
                 z, boxes, labels, z_im,
-                train=True, update_stats=True,
+                train=True, update_stats=True, deterministic=False,
+                rngs={"dropout": rng_drop},
                 mutable=["batch_stats", "spectral"],
             )
 
@@ -87,7 +91,7 @@ def make_train_step(
             g_apply = jax.checkpoint(g_apply)
 
         def g_forward(g_params):
-            return g_apply(g_params, state.g_state, z, boxes, labels, z_im)
+            return g_apply(g_params, state.g_state, z, boxes, labels, z_im, rng_drop)
 
         fake, g_vjp, g_new_state = jax.vjp(g_forward, state.g_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake)

@@ -114,14 +114,17 @@ def make_layout2im_train_step(generator, d_img, d_obj, cfg: Layout2ImConfig) -> 
         b, o = labels.shape
         valid = (labels != 0).astype(jnp.float32)
         masks = bbox_mask(boxes, 64, 64)
-        rng_z, rng_vae = jax.random.split(rng)
+        rng_z, rng_vae, rng_drop = jax.random.split(rng, 3)
         z_rand = jax.random.normal(rng_z, (b, o, cfg.z_dim), images.dtype)
 
         def g_forward(g_params):
+            # deterministic=False + dropout rng: the transformer fusion's
+            # 0.1 dropout trains active (torch .train() semantics)
             out, new_state = generator.apply(
                 {"params": g_params, **state.g_state},
                 images, labels, boxes, masks, z_rand, rng_vae,
-                train=True, mutable=["batch_stats"],
+                train=True, deterministic=False, rngs={"dropout": rng_drop},
+                mutable=["batch_stats"],
             )
             return (out["img_rec"], out["img_rand"], out["mu"], out["logvar"], out["z_rand_rec"]), new_state
 

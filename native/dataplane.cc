@@ -212,8 +212,11 @@ ThreadPool* get_pool(int threads) {
   std::lock_guard<std::mutex> lk(pool_mu);
   int want = threads > 0 ? threads : int(std::thread::hardware_concurrency());
   if (want < 1) want = 1;
-  if (pool && want > pool_size) {  // grow on demand
-    delete pool;
+  if (pool && want > pool_size) {
+    // Grow on demand by REPLACING the global pointer but never deleting the
+    // old pool: a concurrent l2i_load_batch may still hold it (deleting here
+    // was a use-after-free). The abandoned pool's idle threads are a
+    // deliberate, bounded leak (one per distinct grow event).
     pool = nullptr;
   }
   if (!pool) {
@@ -231,6 +234,10 @@ int load_one(const char* path, int out_size, int flip, float* out) {
   std::fseek(f, 0, SEEK_END);
   long len = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (len < 0) {  // ftell failure would otherwise feed vector(huge)
+    std::fclose(f);
+    return 1;
+  }
   std::vector<uint8_t> buf(len);
   if (std::fread(buf.data(), 1, len, f) != size_t(len)) {
     std::fclose(f);
@@ -258,6 +265,18 @@ int load_one(const char* path, int out_size, int flip, float* out) {
   return 0;
 }
 
+// load_one with C++ exceptions contained (e.g. bad_alloc from a JPEG header
+// declaring enormous dimensions) — an exception escaping a pool worker would
+// std::terminate the whole process.
+int load_one_noexcept(const char* path, int out_size, int flip,
+                      float* out) noexcept {
+  try {
+    return load_one(path, out_size, flip, out);
+  } catch (...) {
+    return 3;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -265,7 +284,7 @@ extern "C" {
 // Decode+resize+normalize a single image file into out (out_size*out_size*3
 // float NHWC). Returns 0 on success.
 int l2i_load_image(const char* path, int out_size, int flip, float* out) {
-  return load_one(path, out_size, flip, out);
+  return load_one_noexcept(path, out_size, flip, out);
 }
 
 // Fill a batch of n images in parallel. paths: n C strings; flips: n ints;
@@ -274,23 +293,29 @@ int l2i_load_batch(const char** paths, int n, int out_size, const int* flips,
                    float* out, int threads) {
   ThreadPool* p = get_pool(threads);
   std::atomic<int> failures{0};
-  std::atomic<int> done{0};
+  // done is mutated AND notified under mu: with an atomic counter outside
+  // the lock, the waiter could observe done==n, return, and destroy these
+  // stack-allocated mu/cv while the last worker was still about to lock
+  // them (use-after-scope).
+  int done = 0;
   std::mutex mu;
   std::condition_variable cv;
   size_t stride = size_t(out_size) * out_size * 3;
   for (int i = 0; i < n; ++i) {
     p->submit([&, i] {
-      if (load_one(paths[i], out_size, flips[i], out + stride * i) != 0) {
+      if (load_one_noexcept(paths[i], out_size, flips[i], out + stride * i) != 0) {
         failures.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
+      {
         std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
+        ++done;
+        cv.notify_one();  // notify while holding mu: the waiter cannot
+                          // finish (and destroy cv) until we release it
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
   return failures.load();
 }
 

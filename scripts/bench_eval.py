@@ -85,7 +85,7 @@ def main():
     # value readback of EVERY call, not block_until_ready: on the axon
     # tunnel the latter can return before remote execution completes
     _ = [float(v[-1]) for v in vals]
-    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    dt = max(time.perf_counter() - t0 - n_scans * floor, 1e-9)
 
     img_s = batch_size * scan_len * n_scans / dt
     # reference protocol: TF1, batch size 1, one session.run per image --

@@ -6,6 +6,7 @@
 Run: python scripts/bench_inference.py
 """
 
+import os
 import sys
 import time
 
@@ -14,9 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
-
-import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = int(os.environ.get("BENCH_K", "500"))
 

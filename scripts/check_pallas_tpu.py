@@ -3,6 +3,7 @@
 Run: python scripts/check_pallas_tpu.py
 """
 
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from layout2img_tpu.ops.pallas.isla import _xla_reference, isla_modulate
 
@@ -57,10 +58,12 @@ def main():
             return jax.jit(run)
 
         for name, f in (("pallas", fused), ("xla", ref)):
-            r = many(f)((xn, mask, gamma, beta), jnp.float32(0))
+            jf = many(f)  # ONE jit wrapper — a fresh many(f) per call would
+            # put the recompile inside the timed region
+            r = jf((xn, mask, gamma, beta), jnp.float32(0))
             _ = float(r[-1])
             t0 = time.perf_counter()
-            r = many(f)((xn, mask, gamma, beta), jnp.float32(1))
+            r = jf((xn, mask, gamma, beta), jnp.float32(1))
             _ = float(r[-1])
             dt = (time.perf_counter() - t0) / 50
             print(f"  {name}: {dt * 1e6:8.1f} us/call")

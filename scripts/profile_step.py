@@ -5,6 +5,7 @@ forward, full step without VGG, full step. Run:
   python scripts/profile_step.py
 """
 
+import os
 import sys
 import time
 
@@ -13,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from layout2img_tpu.data.synthetic import synthetic_batch
 from layout2img_tpu.losses.perceptual import VGG19Features, VGGLoss
