@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_layouts", type=int, default=0)
     p.add_argument("--truncation", type=float, default=2.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 (params + latents; boxes stay "
+                        "f32) — ~+10%% throughput on the 128px models")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--coco_image_dir", default="datasets/coco/images/val2017")
     p.add_argument("--coco_instances", default="datasets/coco/annotations/instances_val2017.json")
@@ -64,6 +67,7 @@ def main(argv=None):
     from layout2img_tpu.train.step import make_sample_fn
 
     args = parse_args(argv)
+    sample_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     num_classes, num_objects = dataset_spec(args.dataset)
     cfg = TrainConfig(use_vgg_loss=False)
 
@@ -109,7 +113,8 @@ def main(argv=None):
         def sample(g_params, g_state, boxes, labels, rng):
             b, o = labels.shape
             z = jax.random.truncated_normal(
-                rng, -args.truncation, args.truncation, (b, o, l2i_cfg.z_dim)
+                rng, -args.truncation, args.truncation, (b, o, l2i_cfg.z_dim),
+                sample_dtype,
             )
             masks = bbox_mask(boxes, 64, 64)
             return gen.apply(
@@ -132,7 +137,8 @@ def main(argv=None):
         disc = make_discriminator("d64", num_classes, ch=args.ch)
         state = create_bgfg_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
         state = CheckpointManager(args.ckpt_dir).restore(state)
-        sample = jax.jit(make_bgfg_sample_fn(gen, cfg, truncation=args.truncation))
+        sample = jax.jit(make_bgfg_sample_fn(gen, cfg, truncation=args.truncation,
+                                             dtype=sample_dtype))
     elif args.torch_ckpt:
         # run a reference .pth directly: legacy_attention reproduces the
         # reference's attention-concat scramble its checkpoints need
@@ -150,7 +156,8 @@ def main(argv=None):
             g_state = {k: v for k, v in variables.items() if k != "params"}
 
         state = _GState()
-        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
+        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation,
+                                        dtype=sample_dtype))
     else:
         if not args.ckpt_dir:
             raise SystemExit("provide --ckpt_dir or --torch_ckpt")
@@ -159,13 +166,18 @@ def main(argv=None):
         disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
         state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
         state = CheckpointManager(args.ckpt_dir).restore(state)
-        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation))
+        sample = jax.jit(make_sample_fn(gen, cfg, truncation=args.truncation,
+                                        dtype=sample_dtype))
     os.makedirs(args.sample_path, exist_ok=True)
 
     # prefer EMA weights when the checkpoint carries them (--ema_decay training)
     g_params = state.g_params
     if getattr(state, "ema_params", None) is not None:
         g_params = state.ema_params
+    if args.bf16:
+        g_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
 
     # prep once per batch (split + H2D of only the keys the sampler reads),
     # reused across all num_img draws

@@ -191,18 +191,23 @@ def make_train_step(
     return train_step
 
 
-def make_sample_fn(generator, config: TrainConfig, truncation: float = 2.0) -> Callable:
+def make_sample_fn(generator, config: TrainConfig, truncation: float = 2.0,
+                   dtype=jnp.float32) -> Callable:
     """Inference sampler: truncated-normal z (reference ``utils/util.py:39-45``
-    rejection loop -> ``jax.random.truncated_normal``), eval-mode BN."""
+    rejection loop -> ``jax.random.truncated_normal``), eval-mode BN.
+
+    dtype=jnp.bfloat16 (with bf16-cast params) is the serving-precision
+    variant (~+10% on Ours-D VG at b8); boxes stay f32 for coordinate
+    precision either way."""
 
     def sample(g_params, g_state, boxes, labels, rng):
         b, o = labels.shape
         rng_z, rng_zim = jax.random.split(rng)
         z = jax.random.truncated_normal(
-            rng_z, -truncation, truncation, (b, o, config.z_dim)
+            rng_z, -truncation, truncation, (b, o, config.z_dim), dtype
         )
         z_im = jax.random.truncated_normal(
-            rng_zim, -truncation, truncation, (b, config.z_dim)
+            rng_zim, -truncation, truncation, (b, config.z_dim), dtype
         )
         return generator.apply(
             {"params": g_params, **g_state},

@@ -46,18 +46,23 @@ def create_bgfg_state(
     )
 
 
-def make_bgfg_sample_fn(generator, config: TrainConfig, truncation: float = 2.0) -> Callable:
+def make_bgfg_sample_fn(generator, config: TrainConfig, truncation: float = 2.0,
+                        dtype=None) -> Callable:
     """Inference sampler for the two-stream model: independent truncated-
-    normal latents per stream, eval-mode BN."""
+    normal latents per stream, eval-mode BN. dtype=jnp.bfloat16 (with
+    bf16-cast params) is the serving-precision variant."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
 
     def sample(g_params, g_state, batch: dict, rng: jax.Array):
         b, o = batch["labels"].shape
         rngs = jax.random.split(rng, 4)
         t = truncation
-        z_f = jax.random.truncated_normal(rngs[0], -t, t, (b, o, config.z_dim))
-        z_b = jax.random.truncated_normal(rngs[1], -t, t, (b, o, config.z_dim))
-        z_im_f = jax.random.truncated_normal(rngs[2], -t, t, (b, config.z_dim))
-        z_im_b = jax.random.truncated_normal(rngs[3], -t, t, (b, config.z_dim))
+        z_f = jax.random.truncated_normal(rngs[0], -t, t, (b, o, config.z_dim), dtype)
+        z_b = jax.random.truncated_normal(rngs[1], -t, t, (b, o, config.z_dim), dtype)
+        z_im_f = jax.random.truncated_normal(rngs[2], -t, t, (b, config.z_dim), dtype)
+        z_im_b = jax.random.truncated_normal(rngs[3], -t, t, (b, config.z_dim), dtype)
         return generator.apply(
             {"params": g_params, **g_state},
             z_f, batch["boxes_fg"], batch["labels_fg"],

@@ -60,6 +60,20 @@ def main():
     from layout2img_tpu.models.generators import BgFgGenerator, make_generator
 
     rng_np = np.random.default_rng(0)
+    # BENCH_BF16=1: cast params + latents to bfloat16 (boxes stay f32 for
+    # coordinate precision) — the serving-precision variant
+    use_bf16 = os.environ.get("BENCH_BF16", "0") == "1"
+    zdt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def maybe_cast(variables):
+        if not use_bf16:
+            return variables
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables["params"])
+        return variables
 
     # config 1: Ours-ED 64px fg/bg, batch 8, COCO (184 classes -> 91 fg / 93 bg)
     b, o = 8, 8
@@ -73,13 +87,14 @@ def main():
         jnp.zeros((b, o, 128)), boxes, labels_b,
         jnp.zeros((b, 128)), jnp.zeros((b, 128)),
     )
+    variables = maybe_cast(variables)
 
     def ed_sample(rng):
         r = jax.random.split(rng, 4)
-        z_f = jax.random.truncated_normal(r[0], -2, 2, (b, o, 128))
-        z_b = jax.random.truncated_normal(r[1], -2, 2, (b, o, 128))
-        zi_f = jax.random.truncated_normal(r[2], -2, 2, (b, 128))
-        zi_b = jax.random.truncated_normal(r[3], -2, 2, (b, 128))
+        z_f = jax.random.truncated_normal(r[0], -2, 2, (b, o, 128), zdt)
+        z_b = jax.random.truncated_normal(r[1], -2, 2, (b, o, 128), zdt)
+        zi_f = jax.random.truncated_normal(r[2], -2, 2, (b, 128), zdt)
+        zi_b = jax.random.truncated_normal(r[3], -2, 2, (b, 128), zdt)
         return gen.apply(variables, z_f, boxes, labels_f, z_b, boxes, labels_b,
                          zi_f, zi_b, train=False, update_stats=False)
 
@@ -94,10 +109,12 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((b2, o2, 128)), boxes2, labels2, jnp.zeros((b2, 128))
     )
 
+    variables2 = maybe_cast(variables2)
+
     def d_sample(rng):
         r = jax.random.split(rng)
-        z = jax.random.truncated_normal(r[0], -2, 2, (b2, o2, 128))
-        zi = jax.random.truncated_normal(r[1], -2, 2, (b2, 128))
+        z = jax.random.truncated_normal(r[0], -2, 2, (b2, o2, 128), zdt)
+        zi = jax.random.truncated_normal(r[1], -2, 2, (b2, 128), zdt)
         return gen2.apply(variables2, z, boxes2, labels2, zi, train=False, update_stats=False)
 
     bench("Ours-D 128px VG infer b8", d_sample, (), b2)

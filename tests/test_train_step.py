@@ -200,6 +200,29 @@ def test_sampler(rng):
     assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
 
 
+def test_generator_stays_bf16_under_cast_params(rng):
+    """Regression: with bf16-cast params and bf16 z/z_im (f32 boxes, as the
+    mixed-precision train step produces), the generator forward must stay
+    bfloat16 end-to-end. A silent f32 promotion (via spectral-norm sigma,
+    numpy attention scales, or f32 sampling matrices) once cost ~10%
+    throughput while reporting itself as mixed precision."""
+    gen = make_generator("ours_d_context128", 10, ch=4, num_mask_classes=10)
+    z = jnp.zeros((2, 4, 128))
+    z_im = jnp.zeros((2, 128))
+    boxes = jnp.full((2, 4, 4), 0.25)
+    labels = jnp.ones((2, 4), jnp.int32)
+    v = jax.jit(gen.init)(jax.random.PRNGKey(0), z, boxes, labels, z_im)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+    vb = {"params": cast(dict(v)["params"]),
+          **{k: val for k, val in dict(v).items() if k != "params"}}
+    out = jax.jit(lambda vb, z, zi: gen.apply(
+        vb, z, boxes, labels, zi, train=False, update_stats=False
+    ))(vb, z.astype(jnp.bfloat16), z_im.astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16, out.dtype
+
+
 def test_train_step_mixed_precision(rng):
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
