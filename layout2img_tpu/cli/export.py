@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--img_size", type=int, default=128)
     p.add_argument("--ch", type=int, default=64)
     p.add_argument("--truncation", type=float, default=2.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bake bfloat16 params/latents into the artifact "
+                        "(serving precision; boxes stay f32)")
     p.add_argument("--run", default="", help="load an exported artifact and run one batch")
     return p.parse_args(argv)
 
@@ -100,12 +103,18 @@ def main(argv=None):
 
     frozen = {"params": params, **g_state}
     frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+    zdt = jnp.float32
+    if args.bf16:
+        zdt = jnp.bfloat16
+        frozen["params"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen["params"])
 
     def serve(boxes, labels, seed):
         rng = jax.random.PRNGKey(seed[0])
         rng_z, rng_zim = jax.random.split(rng)
-        zz = jax.random.truncated_normal(rng_z, -args.truncation, args.truncation, (b, o, 128))
-        zi = jax.random.truncated_normal(rng_zim, -args.truncation, args.truncation, (b, 128))
+        zz = jax.random.truncated_normal(rng_z, -args.truncation, args.truncation, (b, o, 128), zdt)
+        zi = jax.random.truncated_normal(rng_zim, -args.truncation, args.truncation, (b, 128), zdt)
         return gen.apply(frozen, zz, boxes, labels, zi, train=False, update_stats=False)
 
     exported = jexport.export(jax.jit(serve))(

@@ -180,6 +180,11 @@ def test_cli_export_roundtrip(tmp_path):
     assert (tmp_path / "gen.stablehlo").exists()
     assert (tmp_path / "gen.stablehlo.json").exists()
     main(["--run", out])
+    # bf16 serving-precision artifact round-trips too
+    out16 = str(tmp_path / "gen16.stablehlo")
+    main(["--model", "lostgan", "--dataset", "synthetic", "--img_size", "64",
+          "--ch", "4", "--batch_size", "2", "--bf16", "--out", out16])
+    main(["--run", out16])
 
 
 def test_top_level_api():
