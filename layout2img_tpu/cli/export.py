@@ -105,10 +105,10 @@ def main(argv=None):
     frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
     zdt = jnp.float32
     if args.bf16:
+        from layout2img_tpu.utils.casting import cast_floating
+
         zdt = jnp.bfloat16
-        frozen["params"] = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen["params"])
+        frozen["params"] = cast_floating(frozen["params"], jnp.bfloat16)
 
     def serve(boxes, labels, seed):
         rng = jax.random.PRNGKey(seed[0])

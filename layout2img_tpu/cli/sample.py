@@ -116,7 +116,9 @@ def main(argv=None):
                 rng, -args.truncation, args.truncation, (b, o, l2i_cfg.z_dim),
                 sample_dtype,
             )
-            masks = bbox_mask(boxes, 64, 64)
+            # masks in the serving dtype — f32 masks would promote the whole
+            # trunk back to f32 one op after the latents enter
+            masks = bbox_mask(boxes, 64, 64).astype(sample_dtype)
             return gen.apply(
                 {"params": g_params, **g_state}, labels, boxes, masks, z,
                 method=Layout2ImGenerator.sample,
@@ -175,9 +177,9 @@ def main(argv=None):
     if getattr(state, "ema_params", None) is not None:
         g_params = state.ema_params
     if args.bf16:
-        g_params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, g_params)
+        from layout2img_tpu.utils.casting import cast_floating
+
+        g_params = cast_floating(g_params, jnp.bfloat16)
 
     # prep once per batch (split + H2D of only the keys the sampler reads),
     # reused across all num_img draws

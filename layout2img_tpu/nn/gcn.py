@@ -35,7 +35,10 @@ class GraphFunc(fnn.Module):
     def __call__(
         self, x: jax.Array, labels: jax.Array, deterministic: bool = True
     ) -> jax.Array:
-        adj = same_label_adjacency(labels)
+        # adjacency math in f32, cast to the compute dtype: a bare f32
+        # adjacency would promote the whole graph-context path (and every
+        # downstream block) to f32 under mixed precision
+        adj = same_label_adjacency(labels).astype(x.dtype)
 
         def gc(name, h, d_out):
             # init matches reference GraphConvolution.reset_parameters:

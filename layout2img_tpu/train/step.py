@@ -46,15 +46,12 @@ def make_train_step(
     batch: {"images": (b,s,s,3), "boxes": (b,o,4), "labels": (b,o)}.
     """
 
+    from layout2img_tpu.utils.casting import cast_floating
+
     compute_dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
 
     def cast(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            tree,
-        )
+        return cast_floating(tree, compute_dtype)
 
     def d_apply(d_p, d_st, imgs, bxs, lbls):
         return discriminator.apply(

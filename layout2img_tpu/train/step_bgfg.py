@@ -51,8 +51,6 @@ def make_bgfg_sample_fn(generator, config: TrainConfig, truncation: float = 2.0,
     """Inference sampler for the two-stream model: independent truncated-
     normal latents per stream, eval-mode BN. dtype=jnp.bfloat16 (with
     bf16-cast params) is the serving-precision variant."""
-    import jax.numpy as jnp
-
     dtype = dtype or jnp.float32
 
     def sample(g_params, g_state, batch: dict, rng: jax.Array):
@@ -83,7 +81,7 @@ def make_bgfg_train_step(
     def train_step(state: GANTrainState, batch: dict, rng: jax.Array):
         images = batch["images"]
         b, o = batch["labels"].shape
-        rngs = jax.random.split(rng, 4)
+        rngs = jax.random.split(rng, 5)
         z_f = jax.random.normal(rngs[0], (b, o, config.z_dim), images.dtype)
         z_b = jax.random.normal(rngs[1], (b, o, config.z_dim), images.dtype)
         z_im_f = jax.random.normal(rngs[2], (b, config.z_dim), images.dtype)
@@ -91,12 +89,15 @@ def make_bgfg_train_step(
         valid = (batch["labels"] != 0).astype(jnp.float32)
 
         def g_forward(g_params):
+            # deterministic=False + dropout rng: torch .train() semantics
+            # (matters only when a context module with dropout is enabled)
             fake, new_state = generator.apply(
                 {"params": g_params, **state.g_state},
                 z_f, batch["boxes_fg"], batch["labels_fg"],
                 z_b, batch["boxes_bg"], batch["labels_bg"],
                 z_im_f, z_im_b,
-                train=True, update_stats=True,
+                train=True, update_stats=True, deterministic=False,
+                rngs={"dropout": rngs[4]},
                 mutable=["batch_stats", "spectral"],
             )
             return fake, new_state

@@ -77,15 +77,17 @@ def main():
         floors.append(time.perf_counter() - t0)
     floor = sorted(floors)[1]
 
+    # CHAIN the scans (each seed derives from the previous result) so ONE
+    # final value readback provably forces every execution — per-call
+    # readbacks both serialize with execution (under-measures) and get
+    # multiply-subtracted as floors (over-corrects)
     t0 = time.perf_counter()
-    vals = []
+    seed = jnp.float32(1)
     for i in range(n_scans):
-        _, (f, p) = jmulti(variables, images, jnp.float32(i + 1))
-        vals.append(p)
-    # value readback of EVERY call, not block_until_ready: on the axon
-    # tunnel the latter can return before remote execution completes
-    _ = [float(v[-1]) for v in vals]
-    dt = max(time.perf_counter() - t0 - n_scans * floor, 1e-9)
+        _, (f, p) = jmulti(variables, images, seed)
+        seed = p[-1] * jnp.float32(1e-6) + jnp.float32(i + 2)
+    _ = float(p[-1])  # value readback, not block_until_ready
+    dt = max(time.perf_counter() - t0 - floor, 1e-9)
 
     img_s = batch_size * scan_len * n_scans / dt
     # reference protocol: TF1, batch size 1, one session.run per image --

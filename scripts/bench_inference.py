@@ -68,11 +68,10 @@ def main():
     def maybe_cast(variables):
         if not use_bf16:
             return variables
+        from layout2img_tpu.utils.casting import cast_floating
+
         variables = dict(variables)
-        variables["params"] = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            variables["params"])
+        variables["params"] = cast_floating(variables["params"], jnp.bfloat16)
         return variables
 
     # config 1: Ours-ED 64px fg/bg, batch 8, COCO (184 classes -> 91 fg / 93 bg)

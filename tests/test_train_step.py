@@ -200,26 +200,48 @@ def test_sampler(rng):
     assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
 
 
-def test_generator_stays_bf16_under_cast_params(rng):
+@pytest.mark.parametrize("preset", ["ours_d_context128", "graph128"])
+def test_generator_stays_bf16_under_cast_params(rng, preset):
     """Regression: with bf16-cast params and bf16 z/z_im (f32 boxes, as the
     mixed-precision train step produces), the generator forward must stay
-    bfloat16 end-to-end. A silent f32 promotion (via spectral-norm sigma,
-    numpy attention scales, or f32 sampling matrices) once cost ~10%
-    throughput while reporting itself as mixed precision."""
-    gen = make_generator("ours_d_context128", 10, ch=4, num_mask_classes=10)
+    bfloat16 end-to-end. Silent f32 promotions (spectral-norm sigma, numpy
+    attention scales, f32 sampling matrices, the f32 GCN adjacency) once
+    cost ~10% throughput while reporting themselves as mixed precision."""
+    from layout2img_tpu.utils.casting import cast_floating
+
+    gen = make_generator(preset, 10, ch=4, num_mask_classes=10)
     z = jnp.zeros((2, 4, 128))
     z_im = jnp.zeros((2, 128))
     boxes = jnp.full((2, 4, 4), 0.25)
     labels = jnp.ones((2, 4), jnp.int32)
     v = jax.jit(gen.init)(jax.random.PRNGKey(0), z, boxes, labels, z_im)
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-    vb = {"params": cast(dict(v)["params"]),
+    vb = {"params": cast_floating(dict(v)["params"], jnp.bfloat16),
           **{k: val for k, val in dict(v).items() if k != "params"}}
     out = jax.jit(lambda vb, z, zi: gen.apply(
         vb, z, boxes, labels, zi, train=False, update_stats=False
     ))(vb, z.astype(jnp.bfloat16), z_im.astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16, out.dtype
+
+
+def test_layout2im_sample_stays_bf16(rng):
+    """Same regression for the layout2im serving path (bf16 masks + params)."""
+    from layout2img_tpu.models.layout2im import Layout2ImGenerator
+    from layout2img_tpu.ops.bbox import bbox_mask
+    from layout2img_tpu.utils.casting import cast_floating
+
+    g = Layout2ImGenerator(num_classes=10)
+    images = jnp.zeros((2, 64, 64, 3))
+    boxes = jnp.full((2, 4, 4), 0.25)
+    labels = jnp.ones((2, 4), jnp.int32)
+    masks = bbox_mask(boxes, 64, 64)
+    z = jnp.zeros((2, 4, 8))
+    v = dict(jax.jit(g.init)(jax.random.PRNGKey(0), images, labels, boxes,
+                             masks, z, jax.random.PRNGKey(1)))
+    vb = {"params": cast_floating(v["params"], jnp.bfloat16),
+          **{k: val for k, val in v.items() if k != "params"}}
+    out = jax.jit(lambda vb, masks, z: g.apply(
+        vb, labels, boxes, masks, z, method=Layout2ImGenerator.sample
+    ))(vb, masks.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
     assert out.dtype == jnp.bfloat16, out.dtype
 
 
