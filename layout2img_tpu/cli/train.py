@@ -47,10 +47,20 @@ def parse_args(argv=None):
     p.add_argument("--remat", default="none", choices=["none", "g", "d", "gd"],
                    help="jax.checkpoint the G forward / D applies (identical "
                         "math; frees activation HBM for larger batches)")
+    p.add_argument("--remat_d_blocks", type=int, default=0,
+                   help="remat only the first N D trunk blocks (the big-"
+                        "activation ones) — finer-grained than --remat d; "
+                        "unlocks batch 192 at 128px with less recompute")
     p.add_argument("--l2i_fusion", default="transformer",
                    choices=["transformer", "convlstm", "transformer_decoder"],
                    help="layout2im fusion variant (generator_app / generator "
                         "baselines / generator1)")
+    p.add_argument("--torch_ckpt_g", default="",
+                   help="reference G .pth to fine-tune from (wires "
+                        "legacy_attention automatically; matches the "
+                        "reference's resume workflow, train_context_app_v2.py:71-104)")
+    p.add_argument("--torch_ckpt_d", default="",
+                   help="reference D .pth to fine-tune from")
     p.add_argument("--profile_dir", default="", help="write a jax profiler trace of steps 10-20")
     # data paths
     p.add_argument("--coco_image_dir", default="datasets/coco/images/train2017")
@@ -143,8 +153,16 @@ def main(argv=None):
     logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
     writer = MetricWriter(out_dir, rank=rank)
 
-    gen = make_generator(exp.gen_preset, num_classes, ch=args.ch, image_size=args.img_size)
-    disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch, image_size=args.img_size)
+    gen_overrides = {}
+    if args.torch_ckpt_g:
+        # reference checkpoints were trained with the attention-concat
+        # scramble; reproduce it so the imported weights see their own layout
+        gen_overrides["legacy_attention"] = True
+    gen = make_generator(exp.gen_preset, num_classes, ch=args.ch,
+                         image_size=args.img_size, **gen_overrides)
+    disc = make_discriminator(exp.disc_preset, num_classes, ch=args.ch,
+                              image_size=args.img_size,
+                              remat_blocks=args.remat_d_blocks)
 
     loader = build_dataset(args, num_objects)
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
@@ -161,6 +179,23 @@ def main(argv=None):
     example = next(iter(loader))
     example = jax.tree_util.tree_map(jnp.asarray, example)
     state = create_train_state(jax.random.PRNGKey(args.seed), gen, disc, example, cfg)
+
+    if args.torch_ckpt_g or args.torch_ckpt_d:
+        import torch
+
+        from layout2img_tpu.train.state import load_torch_into_state
+        from layout2img_tpu.utils.torch_import import (
+            import_lostgan_discriminator,
+            import_lostgan_generator,
+        )
+
+        g_t = (import_lostgan_generator(torch.load(args.torch_ckpt_g, map_location="cpu"))
+               if args.torch_ckpt_g else None)
+        d_t = (import_lostgan_discriminator(torch.load(args.torch_ckpt_d, map_location="cpu"))
+               if args.torch_ckpt_d else None)
+        state = load_torch_into_state(state, cfg, g_t, d_t)
+        logger.info("fine-tuning from torch checkpoints: G=%s D=%s",
+                    args.torch_ckpt_g or "-", args.torch_ckpt_d or "-")
 
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
     if args.resume and ckpt.latest_step() is not None:

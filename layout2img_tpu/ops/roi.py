@@ -10,10 +10,16 @@ Differences from torchvision, by design:
 - Operates on *padded* (b, o, 4) box arrays; invalid objects are handled by
   the caller's validity mask, replacing the reference's dynamic
   ``label != 0`` filtering (``rcnn_discriminator_app.py:415-417``).
-- ``sampling_ratio`` is static (default 2) instead of the data-dependent
-  adaptive ``ceil(roi_size / bins)`` used by sampling_ratio=0. XLA needs
-  static shapes; 2 taps/bin matches torchvision's own recommended setting
-  and its unit-test configuration.
+- ``sampling_ratio=0`` (the reference's actual setting, constructed as
+  ``RoIAlign((8, 8), scale, int(0))``) is implemented as a *static
+  bounded-tap* kernel: torchvision's adaptive taps-per-bin is
+  ``grid = ceil(bin_size)`` with ``bin_size = roi_extent / out_bins``;
+  since boxes live inside the image, ``roi_extent <= fm_size`` and
+  ``grid <= ceil(fm_size / out_bins)`` (= 4 for every reference config:
+  fm <= 32px, 8 bins). We allocate that static bound of tap slots per bin
+  and mask+renormalize per object, so the result is bit-for-bit the
+  adaptive average with XLA-friendly static shapes. Boxes that (illegally)
+  exceed the feature map clamp at the bound and deviate slightly.
 
 Border semantics match torchvision (aligned=False): samples with
 coordinate < -1 or > size contribute zero; otherwise coordinates clamp to
@@ -45,17 +51,36 @@ def _axis_matrix(start: jax.Array, length: jax.Array, out_bins: int, sampling_ra
 
     start/length: (...,) ROI start & extent in feature-map pixels (already
     scaled by spatial_scale, extent clamped to >= 1 by the caller).
+
+    ``sampling_ratio == 0`` selects torchvision's adaptive grid
+    (``grid = ceil(length / out_bins)`` taps per bin, same grid for every
+    bin of a ROI) realized with a static bound of
+    ``ceil(size / out_bins)`` tap slots — unused slots are masked and the
+    per-bin average renormalized by the live count, which is numerically
+    identical to torchvision's dynamic loop for in-bounds ROIs.
     """
-    sr = sampling_ratio
     bin_sz = length / out_bins  # (...,)
-    # sample positions: start + (bin + (p+0.5)/sr) * bin_sz
-    offs = (jnp.arange(out_bins * sr) // sr).astype(start.dtype) + (
-        (jnp.arange(out_bins * sr) % sr).astype(start.dtype) + 0.5
-    ) / sr  # (out_bins*sr,)
-    pos = start[..., None] + offs * bin_sz[..., None]  # (..., out_bins*sr)
-    taps = _roi_tap_matrix(pos, size)  # (..., out_bins*sr, size)
-    taps = taps.reshape(taps.shape[:-2] + (out_bins, sr, size))
-    return taps.mean(axis=-2)
+    if sampling_ratio > 0:
+        sr = sampling_ratio
+        # sample positions: start + (bin + (p+0.5)/sr) * bin_sz
+        offs = (jnp.arange(out_bins * sr) // sr).astype(start.dtype) + (
+            (jnp.arange(out_bins * sr) % sr).astype(start.dtype) + 0.5
+        ) / sr  # (out_bins*sr,)
+        pos = start[..., None] + offs * bin_sz[..., None]  # (..., out_bins*sr)
+        taps = _roi_tap_matrix(pos, size)  # (..., out_bins*sr, size)
+        taps = taps.reshape(taps.shape[:-2] + (out_bins, sr, size))
+        return taps.mean(axis=-2)
+    # adaptive (sampling_ratio == 0): static bound on taps/bin
+    t = max(1, -(-size // out_bins))  # ceil(size / out_bins)
+    grid = jnp.clip(jnp.ceil(bin_sz), 1.0, float(t))  # (...,) live taps/bin
+    bins = (jnp.arange(out_bins * t) // t).astype(start.dtype)  # (out_bins*t,)
+    p = (jnp.arange(out_bins * t) % t).astype(start.dtype)
+    # position of tap p in bin: start + (bin + (p+0.5)/grid) * bin_sz
+    pos = start[..., None] + (bins + (p + 0.5) / grid[..., None]) * bin_sz[..., None]
+    live = (p < grid[..., None]).astype(start.dtype) / grid[..., None]  # (..., out_bins*t)
+    taps = _roi_tap_matrix(pos, size) * live[..., None]  # (..., out_bins*t, size)
+    taps = taps.reshape(taps.shape[:-2] + (out_bins, t, size))
+    return taps.sum(axis=-2)
 
 
 def roi_align(
@@ -63,7 +88,7 @@ def roi_align(
     boxes_xyxy: jax.Array,
     out_size: int,
     spatial_scale: float,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
 ) -> jax.Array:
     """Crop-and-pool fixed-size windows from per-image feature maps.
 
@@ -74,7 +99,9 @@ def roi_align(
         ``rcnn_discriminator_app.py:410``).
       out_size: output bins per side (8 in all reference configs).
       spatial_scale: feature-map stride reciprocal (1/4, 1/8, ...).
-      sampling_ratio: static taps per bin per axis.
+      sampling_ratio: taps per bin per axis; 0 (default, the reference's
+        setting) = torchvision-adaptive ``ceil(bin_size)`` via static
+        bounded tap slots.
 
     Returns:
       (b, o, out_size, out_size, c) crops.
@@ -98,7 +125,7 @@ def dual_scale_roi_align(
     scale_small: float,
     scale_large: float,
     size_threshold: float,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
 ) -> jax.Array:
     """Small/large ROI routing as a static select.
 

@@ -142,3 +142,66 @@ def create_train_state(
         g_tx=g_tx,
         d_tx=d_tx,
     )
+
+
+def _assert_tree_compatible(name: str, imported: Any, initialized: Any) -> None:
+    """Fail with a readable message when an imported torch tree does not
+    match the constructed model (wrong preset / num_classes / image size)."""
+    got = {jax.tree_util.keystr(kp): v.shape
+           for kp, v in jax.tree_util.tree_flatten_with_path(imported)[0]}
+    want = {jax.tree_util.keystr(kp): v.shape
+            for kp, v in jax.tree_util.tree_flatten_with_path(initialized)[0]}
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    bad = [f"{k}: ckpt {got[k]} vs model {want[k]}"
+           for k in sorted(set(got) & set(want)) if got[k] != want[k]]
+    if missing or extra or bad:
+        raise ValueError(
+            f"torch checkpoint does not fit the constructed {name} "
+            f"(check --model / dataset num_classes / --img_size):\n"
+            f"  missing in ckpt: {missing[:5]}\n  extra in ckpt: {extra[:5]}\n"
+            f"  shape mismatches: {bad[:5]}"
+        )
+
+
+def load_torch_into_state(
+    state: GANTrainState,
+    config: TrainConfig,
+    g_variables: dict | None = None,
+    d_variables: dict | None = None,
+) -> GANTrainState:
+    """Replace G and/or D weights with imported reference trees and reset the
+    matching optimizer state — the fine-tuning entry the reference's training
+    scripts expose by loading saved G+D checkpoints into the loop
+    (``train_context_app_v2.py:71-104``, ``train_graph_context_app.py:70-95``).
+
+    ``*_variables`` are importer outputs
+    ({'params', 'batch_stats', 'spectral'}, ``utils/torch_import.py``).
+    Optimizer moments restart at zero (the reference reloads its Adam state
+    too when present; a fresh Adam at beta1=0 warms up within a few steps).
+    """
+    if g_variables is not None:
+        g_params = g_variables["params"]
+        _assert_tree_compatible("generator", g_params, state.g_params)
+        g_state = {k: v for k, v in g_variables.items() if k != "params"}
+        ema_params = state.ema_params
+        if ema_params is not None:
+            from layout2img_tpu.train.ema import ema_init
+
+            ema_params = ema_init(g_params)
+        state = state.replace(
+            g_params=g_params,
+            g_state=g_state,
+            g_opt_state=jax.jit(state.g_tx.init)(g_params),
+            ema_params=ema_params,
+        )
+    if d_variables is not None:
+        d_params = d_variables["params"]
+        _assert_tree_compatible("discriminator", d_params, state.d_params)
+        d_state = {k: v for k, v in d_variables.items() if k != "params"}
+        state = state.replace(
+            d_params=d_params,
+            d_state=d_state,
+            d_opt_state=jax.jit(state.d_tx.init)(d_params),
+        )
+    return state

@@ -53,6 +53,13 @@ def parse_args(argv=None):
                    help="track relative FID (fixed-seed random inception)")
     p.add_argument("--image_out", default="docs/images/conditioning_target_vs_generated.png")
     p.add_argument("--min_score", type=float, default=0.5)
+    p.add_argument("--torch_init", action="store_true",
+                   help="initialize G+D from random-weight REFERENCE torch "
+                        "models via the .pth importers (the cli.train "
+                        "--torch_ckpt_g/--torch_ckpt_d fine-tuning path) and "
+                        "show training continues stably from imported "
+                        "weights. Forces preset=ours_d_context128, ch=64, "
+                        "img_size=128 (the reference D is fixed-width).")
     return p.parse_args(argv)
 
 
@@ -108,15 +115,44 @@ def color_score(imgs, labels, boxes, s, palette):
 
 def main(argv=None):
     a = parse_args(argv)
+    if a.torch_init:
+        a.preset, a.ch, a.img_size, a.no_app_head = "ours_d_context128", 64, 128, False
+        # the reference trained these weights with the attention-concat
+        # scramble; run their layout (cli.train --torch_ckpt_g does the same)
+        gen = make_generator(a.preset, a.num_classes, legacy_attention=True)
+    else:
+        gen = make_generator(a.preset, a.num_classes, ch=a.ch, image_size=a.img_size,
+                             num_mask_classes=a.num_classes)
     palette = make_palette(a.num_classes)
     rng_np = np.random.default_rng(0)
-    gen = make_generator(a.preset, a.num_classes, ch=a.ch, image_size=a.img_size,
-                         num_mask_classes=a.num_classes)
     disc = LayoutDiscriminator(num_classes=a.num_classes, image_size=a.img_size,
                                ch=a.ch, app_head=not a.no_app_head)
     batches = [make_batch(rng_np, a, palette) for _ in range(8)]
     cfg = TrainConfig(use_vgg_loss=False, mixed_precision=True)
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, batches[0], cfg)
+    if a.torch_init:
+        import importlib
+
+        from layout2img_tpu.train.state import load_torch_into_state
+        from layout2img_tpu.utils.torch_import import (
+            import_lostgan_discriminator,
+            import_lostgan_generator,
+        )
+        from layout2img_tpu.utils.torchvision_polyfill import install
+
+        install()
+        sys.path.insert(0, "/root/reference")
+        gmod = importlib.import_module("model.resnet_generator_app_v2")
+        dmod = importlib.import_module("model.rcnn_discriminator_app")
+        g_t = gmod.ResnetGenerator128_context(num_classes=a.num_classes)
+        d_t = dmod.CombineDiscriminator128_app(num_classes=a.num_classes)
+        state = load_torch_into_state(
+            state, cfg,
+            import_lostgan_generator(g_t.state_dict()),
+            import_lostgan_discriminator(d_t.state_dict()),
+        )
+        print(f"[torch_init] G+D initialized from reference torch models "
+              f"(nc={a.num_classes}); training continues from imported weights")
     step = make_train_step(gen, disc, cfg)
     sample = jax.jit(make_sample_fn(gen, cfg))
 

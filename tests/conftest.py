@@ -23,6 +23,59 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full parity/trainer/multihost matrix, "
+             "~60-120 min); default run finishes in minutes",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (torch-reference parity, full-size trainers, "
+        "multihost); skipped unless --runslow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def reference_disc_module():
+    """The reference discriminator module with a TRUE torchvision-semantics
+    RoIAlign polyfill injected (torchvision is absent in the sandbox;
+    the polyfill implements the adaptive ``sampling_ratio=0`` grid the
+    reference actually constructs). Shared by the D parity and
+    torch-fine-tune tests; the polyfill itself lives in
+    ``layout2img_tpu.utils.torchvision_polyfill``.
+    """
+    import sys
+
+    import torch
+
+    from layout2img_tpu.utils.torchvision_polyfill import install
+
+    ref = "/root/reference"
+    if not os.path.isdir(os.path.join(ref, "model")):
+        pytest.skip("reference repo not available")
+
+    install()
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    import importlib
+
+    mod = importlib.import_module("model.rcnn_discriminator_app")
+    return torch, mod

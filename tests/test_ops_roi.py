@@ -37,33 +37,50 @@ def _np_roi_align(feat_nchw, rois, out_size, scale, sr):
         rw = max(x1 - x0, 1.0)
         rh = max(y1 - y0, 1.0)
         bw, bh = rw / out_size, rh / out_size
+        # sr=0: torchvision's adaptive grid, ceil(bin_size) taps per bin
+        gx = sr if sr > 0 else int(np.ceil(bw))
+        gy = sr if sr > 0 else int(np.ceil(bh))
+        gx, gy = max(gx, 1), max(gy, 1)
         for by in range(out_size):
             for bx in range(out_size):
                 acc = np.zeros(c)
-                for py in range(sr):
-                    for px in range(sr):
-                        yy = y0 + (by + (py + 0.5) / sr) * bh
-                        xx = x0 + (bx + (px + 0.5) / sr) * bw
+                for py in range(gy):
+                    for px in range(gx):
+                        yy = y0 + (by + (py + 0.5) / gy) * bh
+                        xx = x0 + (bx + (px + 0.5) / gx) * bw
                         acc += tap(feat_nchw[idx], yy, xx)
-                out[i, :, by, bx] = acc / (sr * sr)
+                out[i, :, by, bx] = acc / (gy * gx)
     return out
 
 
 @pytest.mark.parametrize("scale", [0.25, 0.125])
-def test_roi_align_matches_torchvision_algorithm(rng, scale):
+@pytest.mark.parametrize("sr", [0, 2])
+def test_roi_align_matches_torchvision_algorithm(rng, scale, sr):
     b, o, h, w, c = 2, 3, 32, 32, 5
     feat = rng.standard_normal((b, h, w, c)).astype(np.float32)
     xy = rng.random((b, o, 2)).astype(np.float32) * 100
     wh = rng.random((b, o, 2)).astype(np.float32) * 60 + 2
     boxes = np.concatenate([xy, xy + wh], axis=-1)  # xyxy in 128px image coords
 
-    got = np.asarray(roi_ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), 8, scale, sampling_ratio=2))
+    got = np.asarray(roi_ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), 8, scale, sampling_ratio=sr))
 
     rois = np.concatenate(
         [np.repeat(np.arange(b), o)[:, None], boxes.reshape(-1, 4)], axis=1
     )
-    want = _np_roi_align(feat.transpose(0, 3, 1, 2), rois, 8, scale, 2)
+    want = _np_roi_align(feat.transpose(0, 3, 1, 2), rois, 8, scale, sr)
     want = want.reshape(b, o, c, 8, 8).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_adaptive_full_image_box(rng):
+    """A ROI spanning the whole fm hits the static tap bound (4 taps/bin
+    on a 32px map) — the exact case the bound is sized for."""
+    feat = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    boxes = np.array([[[0.0, 0.0, 128.0, 128.0]]], dtype=np.float32)
+    got = np.asarray(roi_ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), 8, 0.25, 0))
+    rois = np.array([[0.0, 0.0, 0.0, 128.0, 128.0]])
+    want = _np_roi_align(feat.transpose(0, 3, 1, 2), rois, 8, 0.25, 0)
+    want = want.reshape(1, 1, 3, 8, 8).transpose(0, 1, 3, 4, 2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 

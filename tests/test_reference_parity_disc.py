@@ -2,8 +2,10 @@
 reference implementation (model/rcnn_discriminator_app.py).
 
 torchvision is absent in the sandbox, so a pure-torch RoIAlign polyfill
-(matching torchvision's aligned=False algorithm, fixed sampling_ratio=2 to
-match ops/roi.py) is injected before importing the reference module. The
+(matching torchvision's aligned=False algorithm, INCLUDING the adaptive
+``sampling_ratio=0`` grid the reference actually constructs —
+``RoIAlign((8, 8), scale, int(0))``, rcnn_discriminator_app.py:32-33,98-99)
+is injected before importing the reference module. The
 comparison covers the image head, the dual-scale ROI object head with the
 projection term, and the Gram appearance head, with weights transferred by
 the D importer. Padded objects are excluded on our side via the validity
@@ -11,8 +13,6 @@ mask (the reference filters label != 0 dynamically).
 """
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -21,78 +21,12 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "model")), reason="reference repo not available"
-)
+)]
 
-
-@pytest.fixture(scope="module")
-def reference_disc_module():
-    import torch
-    import torch.nn as nn
-
-    torch.Tensor.cuda = lambda self, *a, **k: self
-
-    class RoIAlignPolyfill(nn.Module):
-        """torchvision.ops.RoIAlign (aligned=False) in pure torch, with
-        sampling_ratio forced to 2 (static, matching layout2img_tpu.ops.roi)."""
-
-        def __init__(self, output_size, spatial_scale, sampling_ratio):
-            super().__init__()
-            self.out = output_size[0] if isinstance(output_size, tuple) else output_size
-            self.scale = spatial_scale
-            self.sr = 2
-
-        def forward(self, feats, rois):
-            n = rois.shape[0]
-            _, c, h, w = feats.shape
-            out = feats.new_zeros((n, c, self.out, self.out))
-
-            def tap(fm, y, x):
-                if y < -1.0 or y > h or x < -1.0 or x > w:
-                    return fm.new_zeros(c)
-                y = min(max(float(y), 0.0), h - 1)
-                x = min(max(float(x), 0.0), w - 1)
-                y0, x0 = int(np.floor(y)), int(np.floor(x))
-                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
-                ly, lx = y - y0, x - x0
-                return (fm[:, y0, x0] * (1 - ly) * (1 - lx) + fm[:, y0, x1] * (1 - ly) * lx
-                        + fm[:, y1, x0] * ly * (1 - lx) + fm[:, y1, x1] * ly * lx)
-
-            for i in range(n):
-                idx = int(rois[i, 0])
-                x0, y0, x1, y1 = (rois[i, 1:] * self.scale).tolist()
-                rw, rh = max(x1 - x0, 1.0), max(y1 - y0, 1.0)
-                bw, bh = rw / self.out, rh / self.out
-                for by in range(self.out):
-                    for bx in range(self.out):
-                        acc = feats.new_zeros(c)
-                        for py in range(self.sr):
-                            for px in range(self.sr):
-                                acc = acc + tap(
-                                    feats[idx],
-                                    y0 + (by + (py + 0.5) / self.sr) * bh,
-                                    x0 + (bx + (px + 0.5) / self.sr) * bw,
-                                )
-                        out[i, :, by, bx] = acc / (self.sr * self.sr)
-            return out
-
-    tv = types.ModuleType("torchvision")
-    ops = types.ModuleType("torchvision.ops")
-    models = types.ModuleType("torchvision.models")
-    ops.RoIAlign = RoIAlignPolyfill
-    ops.RoIPool = RoIAlignPolyfill
-    models.vgg19 = None  # utils.util imports `models`; Vgg19 class unused here
-    tv.ops = ops
-    tv.models = models
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.ops", ops)
-    sys.modules.setdefault("torchvision.models", models)
-    sys.path.insert(0, REF)
-    import importlib
-
-    mod = importlib.import_module("model.rcnn_discriminator_app")
-    return torch, mod
+# `reference_disc_module` (the polyfill-injected reference module) lives in
+# conftest.py, shared with tests/test_finetune.py.
 
 
 def test_full_forward_parity_d128_app(reference_disc_module, rng):
