@@ -15,6 +15,8 @@ excluded, as the converter skips it) / lpips AlexNet+lin heads
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

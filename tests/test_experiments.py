@@ -6,6 +6,8 @@ tests in test_trainers_extra.py / test_layout2im.py."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,9 @@
 coordinator, 2 processes x 2 virtual CPU devices, per-process data shards
 via shard_host_local_batch, one collective Orbax save."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import os
 import socket
 import subprocess

@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "model")), reason="reference repo not available"
-)
+)]
 
 
 @pytest.fixture(scope="module")
