@@ -121,11 +121,18 @@ class SpatialAdaptiveNorm(fnn.Module):
         beta = beta.reshape(b, o, parts, c)
 
         mask = resize_bilinear(mask, (h, w))  # (b, o, P, h, w)
+        # Modulation stays in XLA on purpose: a hand-written fused Pallas
+        # kernel for this op was built, measured, and REMOVED in round 3 —
+        # at the step's bandwidth/compute-balanced operating point it lost
+        # end-to-end to XLA's cross-op fusion, and the one intermediate XLA
+        # does materialize (the o-channel resized mask) is ~0.2% of step
+        # traffic. Full numbers: docs/pallas_postmortem.md.
         if parts == 1:
-            # fused Pallas kernel on TPU (XLA-einsum fallback elsewhere)
-            from layout2img_tpu.ops.pallas.isla import isla_modulate
-
-            return isla_modulate(y, mask[:, :, 0], gamma[:, :, 0], beta[:, :, 0])
+            m2, g2, b2 = mask[:, :, 0], gamma[:, :, 0], beta[:, :, 0]
+            d = jnp.sum(m2, axis=1)[..., None] + 1e-6  # (b, h, w, 1)
+            gmap = jnp.einsum("bohw,boc->bhwc", m2, g2) / d + 1.0
+            bmap = jnp.einsum("bohw,boc->bhwc", m2, b2) / d
+            return y * gmap + bmap
         denom = jnp.sum(mask, axis=1)[..., None] + 1e-6  # (b, P, h, w, 1)
         gamma_map = jnp.einsum("bophw,bopc->bphwc", mask, gamma) / denom + 1.0
         beta_map = jnp.einsum("bophw,bopc->bphwc", mask, beta) / denom

@@ -43,6 +43,7 @@ def main():
         )
         print(f"[ingest] synthesized {n_imgs} 640x480 JPEGs in {time.time()-t0:.1f}s")
 
+        native_curve: dict[str, float] = {}
         if not native.native_available():
             print("[ingest] native data plane unavailable; PIL path only")
         else:
@@ -54,29 +55,42 @@ def main():
                 for r in range(reps):
                     native.load_batch(paths[r * batch:(r + 1) * batch], img_size, flips, threads)
                 dt = time.time() - t0
+                native_curve[str(threads)] = round(reps * batch / dt, 1)
                 print(f"[ingest] native decode {threads:2d} threads: "
                       f"{reps * batch / dt:8.1f} img/s")
 
+        # full-loader path across worker-thread counts: the scaling curve is
+        # what backs "K cores sustain the step rate" on a multi-core host.
+        # On a 1-core sandbox the curve is flat and documents thread-pool
+        # overhead instead; either way it is measured, not extrapolated.
+        loader_curve: dict[str, float] = {}
         ds = CocoLayoutDataset(root, inst, stuff_json=None, stuff_only=False,
                                image_size=img_size, left_right_flip=True)
-        loader = HostDataLoader(ds, batch, seed=0)
-        # warm one epoch (thread pool spin-up, native lib load)
-        next(iter(loader))
-        t0 = time.time()
-        n = 0
-        for b in loader:
-            n += b["images"].shape[0]
-        dt = time.time() - t0
-        rate = n / dt
-        print(f"[ingest] full HostDataLoader path: {rate:8.1f} img/s "
-              f"({n} imgs, batch {batch}, native={ds.use_native})")
+        rate = 0.0
+        for threads in (1, 2, 4, 8):
+            loader = HostDataLoader(ds, batch, seed=0, num_threads=threads)
+            # warm one batch (thread pool spin-up, native lib load)
+            next(iter(loader))
+            t0 = time.time()
+            n = 0
+            for b in loader:
+                n += b["images"].shape[0]
+            dt = time.time() - t0
+            rate = n / dt
+            loader_curve[str(threads)] = round(rate, 1)
+            print(f"[ingest] full HostDataLoader path ({threads} threads): "
+                  f"{rate:8.1f} img/s ({n} imgs, batch {batch}, native={ds.use_native})")
+        best = max(loader_curve.values())
+        per_core = best / cores
         print(json.dumps({
             "metric": "host_ingest_images_per_sec_128px",
-            "value": round(rate, 1), "unit": "img/s",
+            "value": best, "unit": "img/s",
             "cores": cores,
-            "per_core": round(rate / cores, 1),
-            "vs_train_step_rate": round(rate / target, 2),
-            "cores_needed_for_step_rate": round(target / (rate / cores), 1),
+            "per_core": round(per_core, 1),
+            "native_decode_by_threads": native_curve,
+            "loader_by_threads": loader_curve,
+            "vs_train_step_rate": round(best / target, 2),
+            "cores_needed_for_step_rate": round(target / per_core, 1),
         }))
 
 

@@ -140,6 +140,30 @@ def test_remat_step_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+def test_remat_d_blocks_matches_plain(rng):
+    """Per-block D remat (remat_blocks=3) is the same math — metrics, params,
+    and the param TREE STRUCTURE must match the un-rematted discriminator
+    (so checkpoints are interchangeable)."""
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, app=True, size=128)
+    disc_r = LayoutDiscriminator(num_classes=10, image_size=128, ch=4,
+                                 app_head=True, remat_blocks=3)
+    # identical init structure: reuse the plain state directly
+    step_remat = jax.jit(make_train_step(gen, disc_r, cfg))
+
+    ref_state, ref_metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    new_state, metrics = step_remat(state, batch, jax.random.PRNGKey(1))
+
+    assert (jax.tree_util.tree_structure(ref_state.d_params)
+            == jax.tree_util.tree_structure(new_state.d_params))
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=1e-4, atol=1e-5
+        ), k
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.d_params),
+                    jax.tree_util.tree_leaves(new_state.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
 def test_ema_updates_and_roundtrips(rng, tmp_path):
     """EMA params track g_params without changing the training math, and
     survive a checkpoint round-trip even into a template built without EMA."""
