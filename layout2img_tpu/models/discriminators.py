@@ -38,6 +38,11 @@ class LayoutDiscriminator(fnn.Module):
     image_size: int = 128
     ch: int = 64
     app_head: bool = False
+    # Per-block rematerialization: wrap the first N image-trunk blocks (the
+    # 128^2/64^2 activation giants) in jax.checkpoint. Finer-grained than
+    # TrainConfig.remat="d" (whole-D): frees most of the activation HBM for
+    # a fraction of the recompute, unlocking batch 192 at 128px.
+    remat_blocks: int = 0
 
     @fnn.compact
     def __call__(
@@ -54,10 +59,16 @@ class LayoutDiscriminator(fnn.Module):
         valid = (labels != 0).astype(jnp.float32)  # (b, o)
         us = update_stats
 
+        def trunk(cls, idx):
+            # blocks 1..remat_blocks recompute in the backward pass
+            # (update_stats arg 2 is static; weight-shared obj blocks stay
+            # un-rematted — their activations are 16^2/32^2, not worth it)
+            return fnn.remat(cls, static_argnums=(2,)) if idx <= self.remat_blocks else cls
+
         if s == 128:
-            x = DiscOptimizedBlock(ch, downsample=True, name="block1")(images, us)  # 64
-            x1 = DiscResBlock(ch * 2, downsample=True, name="block2")(x, us)  # 32x32 fm (scale 1/4)
-            x2 = DiscResBlock(ch * 4, downsample=True, name="block3")(x1, us)  # 16x16 fm (scale 1/8)
+            x = trunk(DiscOptimizedBlock, 1)(ch, downsample=True, name="block1")(images, us)  # 64
+            x1 = trunk(DiscResBlock, 2)(ch * 2, downsample=True, name="block2")(x, us)  # 32x32 fm (scale 1/4)
+            x2 = trunk(DiscResBlock, 3)(ch * 4, downsample=True, name="block3")(x1, us)  # 16x16 fm (scale 1/8)
             x = DiscResBlock(ch * 8, downsample=True, name="block4")(x2, us)  # 16
             x = DiscResBlock(ch * 16, downsample=True, name="block5")(x, us)  # 8 -> 4
             x = DiscResBlock(ch * 16, downsample=False, name="block6")(x, us)
@@ -75,10 +86,10 @@ class LayoutDiscriminator(fnn.Module):
             obj_out_ch = ch * 16
             obj_block = DiscResBlock(obj_out_ch, downsample=True, name="block_obj5")
         elif s == 256:
-            x = DiscOptimizedBlock(ch, downsample=True, name="block1")(images, us)
-            x = DiscResBlock(ch * 2, downsample=True, name="block2")(x, us)
-            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/8)
-            x2 = DiscResBlock(ch * 8, downsample=True, name="block4")(x1, us)  # 16x16 fm (scale 1/16)
+            x = trunk(DiscOptimizedBlock, 1)(ch, downsample=True, name="block1")(images, us)
+            x = trunk(DiscResBlock, 2)(ch * 2, downsample=True, name="block2")(x, us)
+            x1 = trunk(DiscResBlock, 3)(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/8)
+            x2 = trunk(DiscResBlock, 4)(ch * 8, downsample=True, name="block4")(x1, us)  # 16x16 fm (scale 1/16)
             x = DiscResBlock(ch * 8, downsample=True, name="block5")(x2, us)
             x = DiscResBlock(ch * 16, downsample=True, name="block6")(x, us)
             x = DiscResBlock(ch * 16, downsample=False, name="block7")(x, us)
@@ -96,9 +107,9 @@ class LayoutDiscriminator(fnn.Module):
             obj_out_ch = ch * 16
             obj_block = DiscResBlock(obj_out_ch, downsample=True, name="block_obj6")
         elif s == 64:
-            x = DiscOptimizedBlock(ch, downsample=False, name="block1")(images, us)
-            x = DiscResBlock(ch * 2, downsample=False, name="block2")(x, us)
-            x1 = DiscResBlock(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/2)
+            x = trunk(DiscOptimizedBlock, 1)(ch, downsample=False, name="block1")(images, us)
+            x = trunk(DiscResBlock, 2)(ch * 2, downsample=False, name="block2")(x, us)
+            x1 = trunk(DiscResBlock, 3)(ch * 4, downsample=True, name="block3")(x, us)  # 32x32 fm (scale 1/2)
             x = DiscResBlock(ch * 8, downsample=True, name="block4")(x1, us)
             x = DiscResBlock(ch * 16, downsample=True, name="block5")(x, us)
             feat = jnp.mean(fnn.relu(x), axis=(1, 2))
