@@ -56,7 +56,16 @@ def iter_file_batches(
         yield np.stack(chunk) / 255.0 * 2.0 - 1.0
 
 
-def _npy_batches(path: str, batch_size: int, limit: int | None) -> Iterator[np.ndarray]:
+def _npy_batches(
+    path: str, batch_size: int, limit: int | None, npy_range: str = "auto"
+) -> Iterator[np.ndarray]:
+    """Yield batches normalized to [-1, 1].
+
+    ``npy_range`` pins the input domain: "unit" ([0, 1] floats), "pm1"
+    ([-1, 1]), "255" ([0, 255]), or "auto" — a heuristic on min/max. The
+    heuristic misreads a legitimately all-nonnegative [-1, 1] array as
+    [0, 1]; pass an explicit range for such data.
+    """
     arr = np.load(path)
     if limit:
         arr = arr[:limit]
@@ -64,14 +73,22 @@ def _npy_batches(path: str, batch_size: int, limit: int | None) -> Iterator[np.n
         arr = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
     else:
         arr = arr.astype(np.float32)
-        lo, hi = float(arr.min()), float(arr.max())
-        if hi > 2.0:  # [0, 255] floats
-            print(f"NOTE: {path} floats in [{lo:.1f}, {hi:.1f}]; rescaling from [0, 255]")
+        if npy_range == "auto":
+            lo, hi = float(arr.min()), float(arr.max())
+            if hi > 2.0:
+                npy_range = "255"
+            elif lo >= 0.0:
+                npy_range = "unit"
+            else:
+                npy_range = "pm1"
+            print(f"NOTE: {path} floats in [{lo:.2f}, {hi:.2f}]; treating as "
+                  f"'{npy_range}' (pass --npy_range to override)")
+        if npy_range == "255":
             arr = arr / 255.0 * 2.0 - 1.0
-        elif lo >= 0.0:  # [0, 1] floats (the common save format)
-            print(f"NOTE: {path} floats in [{lo:.2f}, {hi:.2f}]; rescaling from [0, 1]")
+        elif npy_range == "unit":
             arr = arr * 2.0 - 1.0
-        # else: already in [-1, 1]
+        elif npy_range != "pm1":
+            raise SystemExit(f"unknown --npy_range {npy_range!r}")
     for i in range(0, arr.shape[0], batch_size):
         yield arr[i : i + batch_size]
 
@@ -86,7 +103,8 @@ def resolve_sources(args) -> list[tuple[str, Iterator[np.ndarray]]]:
         return [(args.dir, iter_file_batches(list_images(args.dir, limit),
                                              args.batch_size, args.resize))]
     if args.npy:
-        return [(args.npy, _npy_batches(args.npy, args.batch_size, limit))]
+        return [(args.npy, _npy_batches(args.npy, args.batch_size, limit,
+                                        getattr(args, "npy_range", "auto")))]
     if args.dir_list:
         with open(args.dir_list) as f:
             dirs = [line.strip() for line in f if line.strip()]
@@ -111,6 +129,9 @@ def main(argv=None):
     p.add_argument("mode", choices=["is", "fid", "lpips"])
     p.add_argument("--dir", default="")
     p.add_argument("--npy", default="", help=".npy image array input")
+    p.add_argument("--npy_range", default="auto", choices=["auto", "unit", "pm1", "255"],
+                   help="float domain of --npy data (auto = min/max heuristic; "
+                        "pin it for all-nonnegative [-1,1] arrays)")
     p.add_argument("--dir_list", default="", help="file listing image dirs (IS per dir)")
     p.add_argument("--superdir", default="", help="scan DIR/result*/images (IS per subdir)")
     p.add_argument("--ref_dir", default="")

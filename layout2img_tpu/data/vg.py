@@ -120,7 +120,11 @@ class VgLayoutDataset:
             without_rels.discard(s)
             without_rels.discard(o)
 
-        rng = np.random.default_rng((self.seed, index))
+        # flip folded into the stream so the mirrored copy of a crowded image
+        # draws an independent object subset (the reference's stateful
+        # sampler draws fresh each epoch; per-(seed,index,flip) keeps
+        # reproducibility while decorrelating the pair)
+        rng = np.random.default_rng((self.seed, index, int(flip)))
         obj_idxs = list(with_rels)
         orphans = list(without_rels)
         if len(obj_idxs) > self.max_objects - 1:

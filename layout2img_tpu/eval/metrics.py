@@ -104,7 +104,12 @@ def run_inception_batches(
     """Streaming variant of ``run_inception``: consumes an iterable of
     (<=batch_size, h, w, 3) chunks so an arbitrarily large sample directory
     never has to fit in host RAM. Tail chunks are padded to keep the
-    compiled shape static."""
+    compiled shape static.
+
+    ``inception_apply`` must be a STABLE callable (the same function object
+    across calls): the jit wrapper is cached per function identity, so a
+    per-call lambda or freshly-bound method defeats the cache and recompiles
+    InceptionV3 on every source (minutes each on the tunneled TPU)."""
     feats, probs = [], []
     jit_apply = _jitted(inception_apply)
     for chunk in batches:

@@ -216,7 +216,8 @@ ThreadPool* get_pool(int threads) {
     // Grow on demand by REPLACING the global pointer but never deleting the
     // old pool: a concurrent l2i_load_batch may still hold it (deleting here
     // was a use-after-free). The abandoned pool's idle threads are a
-    // deliberate, bounded leak (one per distinct grow event).
+    // deliberate leak of pool_size threads (plus queues) per grow event —
+    // callers should pass a stable thread count.
     pool = nullptr;
   }
   if (!pool) {
