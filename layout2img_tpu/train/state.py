@@ -180,10 +180,35 @@ def load_torch_into_state(
     Optimizer moments restart at zero (the reference reloads its Adam state
     too when present; a fresh Adam at beta1=0 warms up within a few steps).
     """
+    def conform_collections(name: str, new: dict, old: Any) -> dict:
+        """Match the model's collection set exactly: an imported EMPTY
+        collection the model doesn't carry (e.g. batch_stats for a BN-free
+        D) is dropped — a structure mismatch would break lax.scan carries —
+        while a non-empty unexpected collection is a config error."""
+        old_keys = set(old) if isinstance(old, dict) else set()
+        out = {}
+        for k, v in new.items():
+            if k in old_keys:
+                out[k] = v
+            elif jax.tree_util.tree_leaves(v):
+                raise ValueError(
+                    f"torch checkpoint carries a '{k}' collection the "
+                    f"constructed {name} does not have")
+        for k in old_keys - set(out):
+            if jax.tree_util.tree_leaves(old[k]):
+                raise ValueError(
+                    f"torch checkpoint is missing the {name}'s '{k}' collection")
+            out[k] = old[k]
+        return out
+
     if g_variables is not None:
         g_params = g_variables["params"]
         _assert_tree_compatible("generator", g_params, state.g_params)
-        g_state = {k: v for k, v in g_variables.items() if k != "params"}
+        g_state = conform_collections(
+            "generator",
+            {k: v for k, v in g_variables.items() if k != "params"},
+            state.g_state,
+        )
         ema_params = state.ema_params
         if ema_params is not None:
             from layout2img_tpu.train.ema import ema_init
@@ -198,7 +223,11 @@ def load_torch_into_state(
     if d_variables is not None:
         d_params = d_variables["params"]
         _assert_tree_compatible("discriminator", d_params, state.d_params)
-        d_state = {k: v for k, v in d_variables.items() if k != "params"}
+        d_state = conform_collections(
+            "discriminator",
+            {k: v for k, v in d_variables.items() if k != "params"},
+            state.d_state,
+        )
         state = state.replace(
             d_params=d_params,
             d_state=d_state,

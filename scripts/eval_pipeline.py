@@ -47,6 +47,7 @@ def run(root: str) -> dict:
     # 1) tiny training run -> orbax checkpoint (the artifact cli.sample loads)
     train_cli.main([
         "--model", "lostgan", "--dataset", "synthetic", "--batch_size", "4",
+        "--img_size", "64",  # debug size (native 128) to keep this < 2 min
         "--ch", "4", "--total_epoch", "1", "--steps_per_epoch", "2",
         "--no_vgg", "--save_every_epochs", "1", "--log_every", "1",
         "--out_path", out_path,
@@ -58,8 +59,8 @@ def run(root: str) -> dict:
     # 2) sample through the CLI (reference test_* protocol + file naming)
     sample_cli.main([
         "--model", "lostgan", "--dataset", "synthetic", "--ckpt_dir", ckpt_dir,
-        "--ch", "4", "--num_img", "2", "--batch_size", "4", "--max_layouts", "4",
-        "--sample_path", sample_path,
+        "--img_size", "64", "--ch", "4", "--num_img", "2", "--batch_size", "4",
+        "--max_layouts", "4", "--sample_path", sample_path,
     ])
     files = sorted(os.path.basename(f) for f in glob.glob(os.path.join(sample_path, "*.jpg")))
     want = sorted(f"sample{i}_numb{j}.jpg" for i in range(4) for j in range(2))

@@ -207,6 +207,7 @@ def test_synthetic_batch_conventions(rng):
     assert ((b["labels"] == 0) == (b["boxes"][:, :, 0] == -0.6)).all()
 
 
+@pytest.mark.slow
 def test_train_cli_from_on_disk_coco(tmp_path):
     """End-to-end real-data path: JPEGs on disk -> native decode ->
     CocoLayoutDataset -> HostDataLoader -> device_prefetch -> 2 train steps

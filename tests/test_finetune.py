@@ -71,11 +71,15 @@ def test_finetune_from_torch_checkpoints(reference_disc_module, rng, tmp_path):
     cfg = TrainConfig(use_vgg_loss=False)
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, jbatch, cfg)
 
+    g_cols, d_cols = set(state.g_state), set(state.d_state)
     state = load_torch_into_state(
         state, cfg,
         import_lostgan_generator(torch.load(gp, map_location="cpu")),
         import_lostgan_discriminator(torch.load(dp, map_location="cpu")),
     )
+    # collection sets must match the model exactly — an extra empty
+    # batch_stats on the BN-free D broke lax.scan carries (r3 TPU run)
+    assert set(state.g_state) == g_cols and set(state.d_state) == d_cols
 
     # initial D image scores match the reference net we imported from
     out = disc.apply(
@@ -86,10 +90,21 @@ def test_finetune_from_torch_checkpoints(reference_disc_module, rng, tmp_path):
         np.asarray(out["image"])[:, 0], want_img.numpy()[:, 0], rtol=1e-3, atol=2e-2
     )
 
-    # training continues: >=2 steps, finite losses, params move off the import
-    jstep = jax.jit(make_train_step(gen, disc, cfg))
-    s1, m1 = jstep(state, jbatch, jax.random.PRNGKey(1))
-    s2, m2 = jstep(s1, jbatch, jax.random.PRNGKey(2))
+    # training continues: >=2 steps THROUGH A lax.scan CARRY (the structure-
+    # sensitive path the on-device training loop uses), finite losses,
+    # params move off the import
+    step = make_train_step(gen, disc, cfg)
+
+    def two_steps(s, rngs):
+        def body(s, r):
+            s, m = step(s, jbatch, r)
+            return s, m
+
+        return jax.lax.scan(body, s, rngs)
+
+    s2, ms = jax.jit(two_steps)(state, jax.random.split(jax.random.PRNGKey(1), 2))
+    m1 = {k: v[0] for k, v in ms.items()}
+    m2 = {k: v[1] for k, v in ms.items()}
     assert int(s2.step) == 2
     for m in (m1, m2):
         for k, v in m.items():

@@ -1,6 +1,7 @@
 """Tests: paste_boxes golden, ConvLSTM fusion variant, EMA, multi-host helper."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -152,6 +153,7 @@ def test_npy_batches_float_range_detection(tmp_path):
     np.testing.assert_allclose(out, arr8.astype(np.float32) / 255 * 2 - 1)
 
 
+@pytest.mark.slow
 def test_cli_train_smoke_synthetic(tmp_path):
     """The CLI surface end-to-end on a minimal config (also covered by the
     project verify skill; kept here so the suite exercises it)."""
@@ -169,6 +171,7 @@ def test_cli_train_smoke_synthetic(tmp_path):
     assert (root / "ckpt").exists() and os.listdir(root / "ckpt")
 
 
+@pytest.mark.slow
 def test_cli_export_roundtrip(tmp_path):
     """Export a tiny generator to a StableHLO artifact, then load and run it
     through the same CLI (--run) — the serving path end-to-end."""
@@ -195,6 +198,7 @@ def test_top_level_api():
     assert l2i.TrainConfig().z_dim == 128
 
 
+@pytest.mark.slow
 def test_batched_d_pass_scores_identical(rng):
     """Concatenating real+fake into one D pass must give identical scores to
     two passes (no cross-sample coupling in the D) — the basis for the

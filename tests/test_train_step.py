@@ -51,6 +51,7 @@ def test_train_step_runs_and_updates(rng):
     assert float(jnp.max(jnp.abs(u_old - u_new))) > 0
 
 
+@pytest.mark.slow
 def test_train_step_multiple_steps_stable(rng):
     gen, disc, batch, cfg, state, step = _tiny_setup(rng)
     jstep = jax.jit(step)
@@ -61,6 +62,7 @@ def test_train_step_multiple_steps_stable(rng):
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_matches_single(rng):
     """The whole DataParallel+SyncBN apparatus: one jit over a mesh.
     Sharded-batch numerics must match the unsharded run."""
@@ -81,9 +83,14 @@ def test_train_step_data_parallel_matches_single(rng):
     )
     a = jax.tree_util.tree_leaves(ref_state.g_params)[0]
     b = jax.tree_util.tree_leaves(new_state.g_params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+    # Adam's first-step update is ~sign(g)*lr; sharded-collective
+    # reassociation can flip the sign of a handful of near-zero gradients,
+    # so bound the disagreement by one Adam step (lr=1e-4), matching
+    # test_remat_step_matches_plain's rationale.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+@pytest.mark.slow
 def test_fused_d_step_matches_separate(rng):
     """fused_d=True (one 2b-batch D apply) must match the two-pass step.
 
@@ -113,6 +120,7 @@ def test_fused_d_step_matches_separate(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain(rng):
     """remat='gd' wraps the same math in jax.checkpoint — metrics and updated
     params must match the plain step to float tolerance."""
@@ -140,6 +148,7 @@ def test_remat_step_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+@pytest.mark.slow
 def test_remat_d_blocks_matches_plain(rng):
     """Per-block D remat (remat_blocks=3) is the same math — metrics, params,
     and the param TREE STRUCTURE must match the un-rematted discriminator
@@ -164,6 +173,7 @@ def test_remat_d_blocks_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+@pytest.mark.slow
 def test_ema_updates_and_roundtrips(rng, tmp_path):
     """EMA params track g_params without changing the training math, and
     survive a checkpoint round-trip even into a template built without EMA."""
@@ -224,6 +234,7 @@ def test_sampler(rng):
     assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("preset", ["ours_d_context128", "graph128"])
 def test_generator_stays_bf16_under_cast_params(rng, preset):
     """Regression: with bf16-cast params and bf16 z/z_im (f32 boxes, as the
@@ -247,6 +258,7 @@ def test_generator_stays_bf16_under_cast_params(rng, preset):
     assert out.dtype == jnp.bfloat16, out.dtype
 
 
+@pytest.mark.slow
 def test_layout2im_sample_stays_bf16(rng):
     """Same regression for the layout2im serving path (bf16 masks + params)."""
     from layout2img_tpu.models.layout2im import Layout2ImGenerator
@@ -269,6 +281,7 @@ def test_layout2im_sample_stays_bf16(rng):
     assert out.dtype == jnp.bfloat16, out.dtype
 
 
+@pytest.mark.slow
 def test_train_step_mixed_precision(rng):
     from layout2img_tpu.train.state import TrainConfig, create_train_state
     from layout2img_tpu.train.step import make_train_step
