@@ -16,6 +16,11 @@ Examples:
   python -m layout2img_tpu.cli.evaluate is --superdir results/
   python -m layout2img_tpu.cli.evaluate fid --dir samples/ --ref_dir real128/
   python -m layout2img_tpu.cli.evaluate lpips --dir samples/ --ref_dir real128/
+
+FID reference stats can be precomputed once and reused (pytorch-fid .npz
+convention, arrays mu/sigma):
+  python -m layout2img_tpu.cli.evaluate fid --dir real128/ --save_stats ref.npz
+  python -m layout2img_tpu.cli.evaluate fid --dir samples/ --ref_stats ref.npz
 """
 
 from __future__ import annotations
@@ -135,6 +140,14 @@ def main(argv=None):
     p.add_argument("--dir_list", default="", help="file listing image dirs (IS per dir)")
     p.add_argument("--superdir", default="", help="scan DIR/result*/images (IS per subdir)")
     p.add_argument("--ref_dir", default="")
+    p.add_argument("--ref_stats", default="",
+                   help="precomputed FID reference stats .npz (mu/sigma, "
+                        "pytorch-fid convention) — replaces --ref_dir so the "
+                        "real-image pass runs once, not per evaluation")
+    p.add_argument("--save_stats", default="",
+                   help="fid mode: write the INPUT source's mu/sigma to this "
+                        ".npz (build a reusable reference with "
+                        "`fid --dir real128/ --save_stats ref.npz`)")
     p.add_argument("--splits", type=int, default=3)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
@@ -181,16 +194,36 @@ def main(argv=None):
                 mean, std = inception_score(probs, args.splits)
                 print(f"{name}: IS: {mean:.4f} +/- {std:.4f}  (n={len(probs)}, splits={args.splits})")
         else:
+            from layout2img_tpu.eval.metrics import (
+                feature_stats,
+                frechet_distance,
+                load_feature_stats,
+                save_feature_stats,
+            )
+
             if len(sources) != 1:
                 raise SystemExit("fid takes a single input source")
-            if not args.ref_dir:
-                raise SystemExit("fid requires --ref_dir")
+            if args.ref_dir and args.ref_stats:
+                raise SystemExit("give --ref_dir or --ref_stats, not both")
+            if not (args.ref_dir or args.ref_stats or args.save_stats):
+                raise SystemExit("fid requires --ref_dir or --ref_stats "
+                                 "(or --save_stats to only build stats)")
             feats, _ = run_inception_batches(apply, variables, sources[0][1], args.batch_size)
-            ref_batches = iter_file_batches(
-                list_images(args.ref_dir, limit), args.batch_size, args.resize
-            )
-            ref_feats, _ = run_inception_batches(apply, variables, ref_batches, args.batch_size)
-            print(f"FID: {fid_from_features(feats, ref_feats):.4f}")
+            mu, sigma = feature_stats(feats)
+            if args.save_stats:
+                save_feature_stats(args.save_stats, mu, sigma, len(feats))
+                print(f"saved stats for {len(feats)} images -> {args.save_stats}")
+            if args.ref_stats:
+                ref_mu, ref_sigma, ref_n = load_feature_stats(args.ref_stats)
+                src = f"{args.ref_stats}, n={ref_n}" if ref_n >= 0 else args.ref_stats
+                print(f"FID: {frechet_distance(mu, sigma, ref_mu, ref_sigma):.4f}"
+                      f"  (ref: {src})")
+            elif args.ref_dir:
+                ref_batches = iter_file_batches(
+                    list_images(args.ref_dir, limit), args.batch_size, args.resize
+                )
+                ref_feats, _ = run_inception_batches(apply, variables, ref_batches, args.batch_size)
+                print(f"FID: {fid_from_features(feats, ref_feats):.4f}")
     else:
         from layout2img_tpu.eval.lpips import LPIPS, load_torch_lpips
 

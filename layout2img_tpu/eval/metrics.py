@@ -85,6 +85,37 @@ def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
+def feature_stats(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, d) features -> (mu (d,), sigma (d, d)) Frechet statistics."""
+    f = np.asarray(feats, np.float64)
+    return f.mean(0), np.cov(f, rowvar=False)
+
+
+def save_feature_stats(path: str, mu: np.ndarray, sigma: np.ndarray, n: int) -> None:
+    """Write precomputed FID statistics (pytorch-fid .npz convention:
+    arrays ``mu`` and ``sigma``; plus ``n`` so loads can sanity-report the
+    sample count the stats came from)."""
+    np.savez(path, mu=np.asarray(mu, np.float64),
+             sigma=np.asarray(sigma, np.float64), n=np.int64(n))
+
+
+def load_feature_stats(path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Read stats written by :func:`save_feature_stats` (or any pytorch-fid
+    style .npz with ``mu``/``sigma``). Returns (mu, sigma, n) with n = -1 when
+    the file does not record a sample count."""
+    with np.load(path) as z:
+        if "mu" not in z or "sigma" not in z:
+            raise ValueError(
+                f"{path} is not a FID stats file (needs arrays 'mu' and 'sigma')")
+        mu = np.asarray(z["mu"], np.float64)
+        sigma = np.asarray(z["sigma"], np.float64)
+        n = int(z["n"]) if "n" in z else -1
+    if mu.ndim != 1 or sigma.shape != (mu.shape[0], mu.shape[0]):
+        raise ValueError(
+            f"{path}: bad stats shapes mu{mu.shape} sigma{sigma.shape}")
+    return mu, sigma, n
+
+
 def run_inception(
     inception_apply, variables, images: np.ndarray, batch_size: int = 64
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -165,3 +165,74 @@ def test_evaluate_input_modes(tmp_path, rng):
         resolve_sources(args())
     with _pytest.raises(SystemExit):
         resolve_sources(args(dir=str(flat), npy=str(npy)))
+
+
+def test_fid_stats_roundtrip(tmp_path, rng):
+    """Precomputed-stats FID (save/load .npz, pytorch-fid convention) must
+    equal the two-feature-set FID exactly."""
+    from layout2img_tpu.eval.metrics import (
+        feature_stats,
+        load_feature_stats,
+        save_feature_stats,
+    )
+
+    a = rng.normal(size=(64, 16))
+    b = rng.normal(loc=0.3, size=(48, 16))
+    direct = fid_from_features(a, b)
+
+    mu_b, sig_b = feature_stats(b)
+    path = tmp_path / "ref.npz"
+    save_feature_stats(str(path), mu_b, sig_b, len(b))
+    mu_l, sig_l, n = load_feature_stats(str(path))
+    assert n == 48
+    mu_a, sig_a = feature_stats(a)
+    via_stats = frechet_distance(mu_a, sig_a, mu_l, sig_l)
+    assert abs(via_stats - direct) < 1e-9
+
+    # malformed files are rejected with a clear error
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, mu=np.zeros(4))
+    with pytest.raises(ValueError):
+        load_feature_stats(str(bad))
+    bad2 = tmp_path / "bad2.npz"
+    np.savez(bad2, mu=np.zeros(4), sigma=np.zeros((3, 3)))
+    with pytest.raises(ValueError):
+        load_feature_stats(str(bad2))
+
+
+@pytest.mark.slow
+def test_evaluate_fid_stats_cli(tmp_path, rng):
+    """fid --save_stats then --ref_stats through the real CLI (random-filter
+    inception on tiny images): the cached-reference FID of the reference
+    against itself is ~0."""
+    import PIL.Image
+
+    from layout2img_tpu.cli import evaluate as ev
+
+    d = tmp_path / "real"
+    d.mkdir()
+    for i in range(8):
+        arr = rng.integers(0, 255, (75, 75, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(d / f"img{i}.png")
+
+    stats = tmp_path / "ref.npz"
+    common = ["--batch_size", "4"]
+    ev.main(["fid", "--dir", str(d), "--save_stats", str(stats)] + common)
+    assert stats.exists()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.main(["fid", "--dir", str(d), "--ref_stats", str(stats)] + common)
+    line = [ln for ln in buf.getvalue().splitlines() if ln.startswith("FID:")][0]
+    fid = float(line.split()[1])
+    # identical distributions; covariance regularization keeps it near zero
+    assert fid < 1.0
+
+    with pytest.raises(SystemExit):
+        ev.main(["fid", "--dir", str(d), "--ref_dir", str(d),
+                 "--ref_stats", str(stats)] + common)
+    with pytest.raises(SystemExit):
+        ev.main(["fid", "--dir", str(d)] + common)
