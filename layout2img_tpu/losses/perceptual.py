@@ -62,13 +62,26 @@ class VGGLoss:
             )["params"]
         self.params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
 
-    def __call__(self, fake: jax.Array, real: jax.Array) -> jax.Array:
-        """fake/real: (b, h, w, 3) in [-1, 1]. Returns scalar loss."""
-        f_taps = self.module.apply({"params": self.params}, fake)
-        r_taps = self.module.apply({"params": self.params}, real)
+    def __call__(self, fake: jax.Array, real: jax.Array,
+                 dtype: Any | None = None) -> jax.Array:
+        """fake/real: (b, h, w, 3) in [-1, 1]. Returns scalar f32 loss.
+
+        dtype=jnp.bfloat16 runs the conv stack in bf16 (the train step passes
+        its compute dtype under --mixed_precision); the per-tap L1 means
+        accumulate in f32 either way."""
+        params = self.params
+        if dtype is not None:
+            from layout2img_tpu.utils.casting import cast_floating
+
+            params = cast_floating(params, dtype)
+            fake = fake.astype(dtype)
+            real = real.astype(dtype)
+        f_taps = self.module.apply({"params": params}, fake)
+        r_taps = self.module.apply({"params": params}, real)
         loss = 0.0
         for w, f, r in zip(self.WEIGHTS, f_taps, r_taps):
-            loss = loss + w * jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+            diff = (f - jax.lax.stop_gradient(r)).astype(jnp.float32)
+            loss = loss + w * jnp.mean(jnp.abs(diff))
         return loss
 
 

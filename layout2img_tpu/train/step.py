@@ -152,7 +152,10 @@ def make_train_step(
                 loss = loss + pixel
                 metrics["pixel_loss"] = pixel
             if config.use_vgg_loss and vgg_loss is not None:
-                feat = vgg_loss(fake_img, images)
+                # under mixed precision the VGG stack runs bf16 like G/D
+                # (taps' L1 means still accumulate f32 inside VGGLoss)
+                feat = vgg_loss(fake_img, images,
+                                dtype=compute_dtype if config.mixed_precision else None)
                 loss = loss + feat
                 metrics["feat_loss"] = feat
             return loss, (ds, metrics)

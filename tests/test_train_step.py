@@ -300,3 +300,21 @@ def test_train_step_mixed_precision(rng):
     # master params stay fp32
     for leaf in jax.tree_util.tree_leaves(new_state.g_params):
         assert leaf.dtype == jnp.float32
+
+
+def test_vgg_loss_bf16_close_to_f32(rng):
+    """--mixed_precision runs the VGG stack in bf16; the value must track the
+    f32 loss (f32 tap accumulation) and still return a float32 scalar."""
+    from layout2img_tpu.losses.perceptual import VGGLoss
+
+    vgg = VGGLoss()
+    fake = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).clip(-1, 1), jnp.float32)
+    real = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).clip(-1, 1), jnp.float32)
+    f32 = jax.jit(lambda a, b: vgg(a, b))(fake, real)
+    bf16 = jax.jit(lambda a, b: vgg(a, b, dtype=jnp.bfloat16))(
+        fake.astype(jnp.bfloat16), real.astype(jnp.bfloat16))
+    assert f32.dtype == jnp.float32 and bf16.dtype == jnp.float32
+    assert abs(float(f32) - float(bf16)) < 0.05 * abs(float(f32)) + 1e-3
+
+    g = jax.grad(lambda a: vgg(a, real, dtype=jnp.bfloat16))(fake)
+    assert np.isfinite(np.asarray(g, np.float32)).all() and np.abs(np.asarray(g, np.float32)).max() > 0
