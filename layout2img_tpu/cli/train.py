@@ -62,6 +62,18 @@ def parse_args(argv=None):
     p.add_argument("--torch_ckpt_d", default="",
                    help="reference D .pth to fine-tune from")
     p.add_argument("--profile_dir", default="", help="write a jax profiler trace of steps 10-20")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="every N steps, sample a frozen real-layout pool and "
+                        "log rel-FID (+ IS with --inception_weights) to the "
+                        "metric stream — live metric trajectory the reference "
+                        "only gets offline via IS.py (train/eval_hook.py)")
+    p.add_argument("--eval_n", type=int, default=64,
+                   help="images in the frozen eval pool (rounded up to whole "
+                        "batches)")
+    p.add_argument("--inception_weights", default="",
+                   help="torchvision inception_v3 .pth for --eval_every "
+                        "(none = fixed-seed random filters; rel-FID is then a "
+                        "relative trajectory, IS is skipped)")
     # data paths
     p.add_argument("--coco_image_dir", default="datasets/coco/images/train2017")
     p.add_argument("--coco_instances", default="datasets/coco/annotations/instances_train2017.json")
@@ -242,6 +254,26 @@ def main(argv=None):
         put_fn = None
         sharding = batch_sharding(mesh)
     is_primary = jax.process_index() == 0
+    evaluator = None
+    if args.eval_every > 0 and is_primary and n_proc == 1:
+        import itertools
+
+        from layout2img_tpu.train.eval_hook import PeriodicEval
+
+        n_eval_batches = max(1, -(-args.eval_n // args.batch_size))
+        eval_pool = [jax.tree_util.tree_map(np.asarray, b)
+                     for b in itertools.islice(iter(loader), n_eval_batches)]
+        evaluator = PeriodicEval(sample_fn, eval_pool,
+                                 inception_weights=args.inception_weights,
+                                 batch_size=args.batch_size, seed=args.seed)
+        if not evaluator.real_weights:
+            logger.warning(
+                "--eval_every without --inception_weights: rel_fid uses "
+                "fixed-seed random filters (relative trajectory only)")
+        logger.info("periodic eval: %d real images every %d steps",
+                    evaluator.n_images, args.eval_every)
+    elif args.eval_every > 0:
+        logger.warning("--eval_every is single-process only; disabled here")
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -280,6 +312,12 @@ def main(argv=None):
                                       jax.random.PRNGKey(global_step))
                     writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
                     writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
+            if evaluator is not None and global_step % args.eval_every == 0:
+                host_state = jax.device_get(state)
+                em = {k: float(v) for k, v in evaluator(host_state).items()}
+                writer.write(global_step, em)
+                logger.info("eval step %d: %s", global_step,
+                            {k: round(v, 4) for k, v in em.items()})
         if (epoch + 1) % args.save_every_epochs == 0:
             ckpt.save(jax.device_get(state) if n_proc == 1 else state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
