@@ -111,8 +111,11 @@ def roi_align(
     x0, y0, x1, y1 = x0[..., 0], y0[..., 0], x1[..., 0], y1[..., 0]  # (b, o)
     roi_w = jnp.maximum(x1 - x0, 1.0)
     roi_h = jnp.maximum(y1 - y0, 1.0)
-    ax = _axis_matrix(x0, roi_w, out_size, sampling_ratio, w)  # (b, o, out, w)
-    ay = _axis_matrix(y0, roi_h, out_size, sampling_ratio, h)  # (b, o, out, h)
+    # build tap matrices in f32 (coordinate math), then cast the finished
+    # matrices to the payload dtype — otherwise a bf16 feature pipeline is
+    # silently promoted to f32 from the crop onward (object + app heads)
+    ax = _axis_matrix(x0, roi_w, out_size, sampling_ratio, w).astype(features.dtype)
+    ay = _axis_matrix(y0, roi_h, out_size, sampling_ratio, h).astype(features.dtype)
     rows = jnp.einsum("boyh,bhwc->boywc", ay, features)
     return jnp.einsum("boxw,boywc->boyxc", ax, rows)
 
