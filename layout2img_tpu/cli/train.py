@@ -47,6 +47,14 @@ def parse_args(argv=None):
     p.add_argument("--remat", default="none", choices=["none", "g", "d", "gd"],
                    help="jax.checkpoint the G forward / D applies (identical "
                         "math; frees activation HBM for larger batches)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="devices per model group on a (data, model) mesh; "
+                        "1 = pure data-parallel (default)")
+    p.add_argument("--mp_mode", default="tensor", choices=["tensor", "spatial"],
+                   help="model-axis sharding: 'tensor' shards param feature "
+                        "axes + Adam moments (wider-than-HBM models); "
+                        "'spatial' shards the image H axis (larger "
+                        "resolutions/batches per chip)")
     p.add_argument("--remat_d_blocks", type=int, default=0,
                    help="remat only the first N D trunk blocks (the big-"
                         "activation ones) — finer-grained than --remat d; "
@@ -232,14 +240,37 @@ def main(argv=None):
                 "batch %d not divisible by %d devices; using %d",
                 args.batch_size, len(devices), n_dev,
             )
-    mesh = make_mesh(devices[:n_dev])
-    logger.info("training %s on %s: %d process(es), %d device(s), per-process batch %d",
+    mp = args.model_parallel
+    if mp > 1:
+        if n_proc > 1:
+            raise SystemExit("--model_parallel currently requires a single process")
+        if len(devices) % mp:
+            raise SystemExit(
+                f"{len(devices)} devices not divisible by --model_parallel {mp}")
+        n_dev = len(devices)
+        n_data = n_dev // mp
+        if args.batch_size % n_data:
+            raise SystemExit(
+                f"batch {args.batch_size} not divisible by the data-parallel "
+                f"group count {n_data} ({n_dev} devices / model_parallel {mp})")
+        from layout2img_tpu.parallel.mesh import jit_train_step_2d, make_mesh_2d
+
+        mesh = make_mesh_2d(devices, model_parallel=mp)
+    else:
+        mesh = make_mesh(devices[:n_dev])
+    logger.info("training %s on %s: %d process(es), %d device(s), per-process batch %d"
+                + (f", model_parallel {mp} ({args.mp_mode})" if mp > 1 else ""),
                 args.model, args.dataset, n_proc, n_dev, args.batch_size)
-    step_fn = jit_train_step(make_train_step(gen, disc, cfg, vgg_loss=vgg), mesh)
+    train_step = make_train_step(gen, disc, cfg, vgg_loss=vgg)
     from layout2img_tpu.train.step import make_sample_fn
 
     sample_fn = jax.jit(make_sample_fn(gen, cfg))
-    state = replicate(mesh, state)
+    if mp > 1:
+        step_fn = jit_train_step_2d(train_step, mesh, state, mode=args.mp_mode)
+        state = jax.device_put(state, step_fn.state_shardings)
+    else:
+        step_fn = jit_train_step(train_step, mesh)
+        state = replicate(mesh, state)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = int(jax.device_get(state.step))
@@ -249,6 +280,13 @@ def main(argv=None):
         from layout2img_tpu.parallel.mesh import shard_host_local_batch
 
         put_fn = partial(shard_host_local_batch, mesh)
+        sharding = None
+    elif mp > 1:
+        from functools import partial
+
+        from layout2img_tpu.parallel.mesh import shard_batch_2d
+
+        put_fn = partial(shard_batch_2d, mesh, mode=args.mp_mode)
         sharding = None
     else:
         put_fn = None

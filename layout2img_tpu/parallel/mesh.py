@@ -1,14 +1,30 @@
-"""Data-parallel training over a device mesh — the TPU-native replacement for
+"""Parallel training over a device mesh — the TPU-native replacement for
 the reference's single-process ``nn.DataParallel`` + threaded SyncBN
 (``train_ours_d.py:71-73``, ``model/sync_batchnorm/``).
 
-Design (GSPMD): one jitted train step with the batch sharded over a 1-D
-``data`` mesh axis and all params/optimizer state replicated. Gradient
-means, BN batch statistics, and every other batch reduction become
-cross-replica automatically — XLA inserts psum/all-reduce collectives over
-ICI. At ~50M params there is nothing to gain from parameter sharding; the
-mesh helper still accepts extra axes so larger configs can pjit over
-(data, model) later.
+Design (GSPMD): one jitted train step over a named mesh; XLA inserts every
+collective (psum / all-gather / reduce-scatter) over ICI from sharding
+annotations alone.
+
+- 1-D ``(data,)`` mesh (default): batch sharded over ``data``, all
+  params/optimizer state replicated. Gradient means, BN batch statistics,
+  and every other batch reduction become cross-replica automatically. At
+  ~50M params this is the right point for the shipped configs.
+- 2-D ``(data, model)`` mesh (``make_mesh_2d`` + ``jit_train_step_2d``):
+  two capability levers past data-parallel scaling, both pure sharding
+  annotations on the SAME jitted step (no model changes):
+  * ``mode="tensor"``: every rank>=2 parameter (conv ``(kh,kw,ci,co)``,
+    dense ``(ci,co)``, embedding tables) is sharded on its trailing
+    output-feature axis over ``model``, together with its Adam moments —
+    param + optimizer memory drops ~1/model_parallel per chip, the lever
+    for wider-than-HBM configs.
+  * ``mode="spatial"``: params stay replicated; the image/activation H axis
+    is sharded over ``model`` (GSPMD inserts conv halo exchanges) —
+    activation memory drops ~1/model_parallel per chip, the lever for
+    256px+ resolutions and the b192/b256 batches that OOM on one chip.
+  Both modes are numerically equivalence-tested against the single-device
+  step (tests/test_train_step.py) and exercised by the driver's multi-chip
+  dryrun (__graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
@@ -80,6 +96,111 @@ def default_compiler_options() -> dict | None:
     if jax.default_backend() == "tpu":
         return {"xla_tpu_enable_latency_hiding_scheduler": "true"}
     return None
+
+
+def make_mesh_2d(
+    devices: Sequence[jax.Device] | None = None,
+    model_parallel: int = 2,
+    axis_names: tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """(data, model) mesh: ``model_parallel`` adjacent devices per model
+    group (adjacency rides ICI on real slices), data-parallel across groups."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names)
+
+
+def tensor_parallel_shardings(mesh: Mesh, tree: Any, axis_name: str = "model") -> Any:
+    """Megatron-style parameter shardings: every rank>=2 leaf (conv
+    ``(kh,kw,ci,co)`` / dense ``(ci,co)`` kernels, embedding tables, and the
+    Adam moments mirroring them) shards its trailing output-feature axis
+    over ``model``; vectors/scalars (biases, norm scales, BN stats, spectral
+    ``u``, step counters) replicate. GSPMD propagates the activation
+    shardings and inserts the collectives. Leaves whose trailing dim does
+    not divide by the model-axis size (e.g. a (ci, 1) projection head)
+    replicate — ``device_put`` demands exact divisibility."""
+
+    n_model = mesh.shape[axis_name]
+
+    def spec(x):
+        ndim = getattr(x, "ndim", 0)
+        if ndim >= 2 and x.shape[-1] % n_model == 0:
+            return NamedSharding(mesh, P(*([None] * (ndim - 1) + [axis_name])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_batch_2d(
+    mesh: Mesh, batch: Any, mode: str, data_axis: str = "data", model_axis: str = "model"
+) -> Any:
+    """Place a host batch for a 2-D mesh step.
+
+    tensor mode: leading (batch) axis over ``data``, replicated over
+    ``model`` (each model group cooperates on the same examples).
+    spatial mode: images additionally shard their H axis (b, H, w, c) over
+    ``model``; per-object tensors shard batch only.
+    """
+
+    def put(x):
+        if mode == "spatial" and getattr(x, "ndim", 0) == 4:
+            return jax.device_put(x, NamedSharding(mesh, P(data_axis, model_axis)))
+        return jax.device_put(x, NamedSharding(mesh, P(data_axis)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def jit_train_step_2d(
+    train_step: Callable,
+    mesh: Mesh,
+    state_template: Any,
+    mode: str = "tensor",
+    donate_state: bool = True,
+) -> Callable:
+    """jit a train_step(state, batch, rng) over a (data, model) mesh.
+
+    mode="tensor": params/optimizer sharded per ``tensor_parallel_shardings``.
+    mode="spatial": params replicated, image H axis sharded over ``model``.
+    The state must be placed with the same shardings (``jax.device_put`` of
+    the returned ``.state_shardings`` attribute) and the batch with
+    ``shard_batch_2d``; outputs keep the state shardings, metrics replicate.
+    """
+    if mode not in ("tensor", "spatial"):
+        raise ValueError(f"unknown 2-D mode {mode!r}")
+    repl = NamedSharding(mesh, P())
+    if mode == "tensor":
+        state_sh = tensor_parallel_shardings(mesh, state_template)
+    else:
+        state_sh = jax.tree_util.tree_map(lambda _: repl, state_template)
+
+    def batch_spec(x):
+        if mode == "spatial" and getattr(x, "ndim", 0) == 4:
+            return NamedSharding(mesh, P("data", "model"))
+        return NamedSharding(mesh, P("data"))
+
+    # The batch pytree is unknown here, so its shardings are enforced inside
+    # the step with with_sharding_constraint (robust even if the caller
+    # skipped shard_batch_2d); the state/rng shardings are jit bindings.
+    def annotated_step(state, batch, rng):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)), batch
+        )
+        return train_step(state, batch, rng)
+
+    out_sh = (state_sh, repl)
+    step = jax.jit(
+        annotated_step,
+        in_shardings=(state_sh, None, repl),
+        out_shardings=out_sh,
+        donate_argnums=(0,) if donate_state else (),
+        compiler_options=default_compiler_options(),
+    )
+    step.state_shardings = state_sh
+    return step
 
 
 def jit_train_step(

@@ -172,6 +172,26 @@ def test_cli_train_smoke_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_smoke_model_parallel(tmp_path):
+    """--model_parallel 2 on the 8-device CPU mesh: the (data, model)
+    tensor-parallel path through the full CLI (sharded state placement,
+    prefetch put_fn, checkpoint save of sharded arrays)."""
+    from layout2img_tpu.cli.train import main
+
+    main([
+        "--model", "lostgan", "--dataset", "synthetic", "--total_epoch", "1",
+        "--steps_per_epoch", "1", "--batch_size", "4", "--img_size", "64",
+        "--ch", "4", "--no_vgg", "--log_every", "1", "--out_path", str(tmp_path),
+        "--model_parallel", "2", "--mp_mode", "tensor",
+    ])
+    import os
+
+    root = tmp_path / "synthetic" / "64" / "lostgan"
+    assert (root / "metrics.jsonl").exists()
+    assert (root / "ckpt").exists() and os.listdir(root / "ckpt")
+
+
+@pytest.mark.slow
 def test_cli_export_roundtrip(tmp_path):
     """Export a tiny generator to a StableHLO artifact, then load and run it
     through the same CLI (--run) — the serving path end-to-end."""
