@@ -93,9 +93,13 @@ def main():
 
     from layout2img_tpu.parallel.mesh import default_compiler_options
 
-    jit_multi = jax.jit(
-        multi_step, donate_argnums=(0,), compiler_options=default_compiler_options()
-    )
+    # BENCH_XLA_OPTS: JSON dict of extra XLA compile options, merged over the
+    # defaults (scripts/sweep_xla_flags.py drives this). Must travel via
+    # compiler_options — with the remote-TPU transport, compilation happens
+    # server-side, so a client XLA_FLAGS env would not reach the compiler.
+    opts = default_compiler_options() or {}
+    opts.update(json.loads(os.environ.get("BENCH_XLA_OPTS", "{}")))
+    jit_multi = jax.jit(multi_step, donate_argnums=(0,), compiler_options=opts or None)
     rngs = jax.random.split(jax.random.PRNGKey(1), scan_len)
 
     log("compiling + warmup scan")

@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save_every_epochs", type=int, default=5)
     p.add_argument("--log_every", type=int, default=500)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics/image grids into tensorboardX event "
+                        "files under <out_dir>/tb (the reference's logging "
+                        "surface, train_ours_d.py:171-183)")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="synthetic only")
     p.add_argument("--no_vgg", action="store_true")
     p.add_argument("--mixed_precision", action="store_true")
@@ -171,7 +175,7 @@ def main(argv=None):
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
     rank = jax.process_index()
     logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
-    writer = MetricWriter(out_dir, rank=rank)
+    writer = MetricWriter(out_dir, rank=rank, tensorboard=args.tensorboard)
 
     gen_overrides = {}
     if args.torch_ckpt_g:
@@ -376,7 +380,7 @@ def main_special(args):
     out_dir = os.path.join(args.out_path, args.dataset, str(args.img_size), args.model)
     rank = jax.process_index()
     logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
-    writer = MetricWriter(out_dir, rank=rank)
+    writer = MetricWriter(out_dir, rank=rank, tensorboard=args.tensorboard)
     rng = jax.random.PRNGKey(args.seed)
 
     if args.model == "ours_ed":

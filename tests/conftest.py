@@ -54,6 +54,27 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def reference_modules():
+    """torch + the reference v2 generator module, CPU-neutralized. Shared by
+    the generator parity tests and the reverse-export parity tests."""
+    import sys
+
+    import torch
+
+    ref = "/root/reference"
+    if not os.path.isdir(os.path.join(ref, "model")):
+        pytest.skip("reference repo not available")
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-neutralize
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    import importlib
+
+    mod = importlib.import_module("model.resnet_generator_app_v2")
+    return torch, mod
+
+
+@pytest.fixture(scope="session")
 def reference_disc_module():
     """The reference discriminator module with a TRUE torchvision-semantics
     RoIAlign polyfill injected (torchvision is absent in the sandbox;

@@ -29,16 +29,8 @@ pytestmark = [pytest.mark.slow, pytest.mark.skipif(
 )]
 
 
-@pytest.fixture(scope="module")
-def reference_modules():
-    import torch
-
-    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-neutralize
-    sys.path.insert(0, REF)
-    import importlib
-
-    mod = importlib.import_module("model.resnet_generator_app_v2")
-    return torch, mod
+# `reference_modules` (torch + the reference v2 generator module) lives in
+# conftest.py, shared with tests/test_torch_export.py.
 
 
 def _run_pair(torch, net, preset, num_classes, rng, atol, gen_kwargs=None):
