@@ -25,6 +25,14 @@ annotations alone.
   Both modes are numerically equivalence-tested against the single-device
   step (tests/test_train_step.py) and exercised by the driver's multi-chip
   dryrun (__graft_entry__.dryrun_multichip).
+
+Parallelism axes deliberately NOT provided (no analog in this model family):
+- pipeline parallelism: the generators are ~6 ResBlocks / ~50M params — far
+  too shallow for pipeline stages to amortize bubble overhead; dp x (tensor
+  | spatial) covers every scaling need the architecture has.
+- expert parallelism: no MoE layers exist anywhere in the reference family.
+- sequence parallelism: attention spans <= 31 object tokens (SURVEY.md
+  section 5.7) — it stays replicated per device by design.
 """
 
 from __future__ import annotations
