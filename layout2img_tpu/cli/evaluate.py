@@ -188,9 +188,18 @@ def main(argv=None):
         def apply(v, x):
             return net.apply(v, x)
 
+        # multi-chip eval: shard image chunks over every visible device
+        # (per-image features, placement-invariant numbers)
+        mesh = None
+        if len(jax.devices()) > 1 and args.batch_size % len(jax.devices()) == 0:
+            from layout2img_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+
         if args.mode == "is":
             for name, batches in sources:
-                feats, probs = run_inception_batches(apply, variables, batches, args.batch_size)
+                feats, probs = run_inception_batches(
+                    apply, variables, batches, args.batch_size, mesh=mesh)
                 mean, std = inception_score(probs, args.splits)
                 print(f"{name}: IS: {mean:.4f} +/- {std:.4f}  (n={len(probs)}, splits={args.splits})")
         else:
@@ -208,7 +217,8 @@ def main(argv=None):
             if not (args.ref_dir or args.ref_stats or args.save_stats):
                 raise SystemExit("fid requires --ref_dir or --ref_stats "
                                  "(or --save_stats to only build stats)")
-            feats, _ = run_inception_batches(apply, variables, sources[0][1], args.batch_size)
+            feats, _ = run_inception_batches(
+                apply, variables, sources[0][1], args.batch_size, mesh=mesh)
             mu, sigma = feature_stats(feats)
             if args.save_stats:
                 save_feature_stats(args.save_stats, mu, sigma, len(feats))
@@ -222,7 +232,8 @@ def main(argv=None):
                 ref_batches = iter_file_batches(
                     list_images(args.ref_dir, limit), args.batch_size, args.resize
                 )
-                ref_feats, _ = run_inception_batches(apply, variables, ref_batches, args.batch_size)
+                ref_feats, _ = run_inception_batches(
+                    apply, variables, ref_batches, args.batch_size, mesh=mesh)
                 print(f"FID: {fid_from_features(feats, ref_feats):.4f}")
     else:
         from layout2img_tpu.eval.lpips import LPIPS, load_torch_lpips

@@ -181,6 +181,28 @@ def main(argv=None):
 
         g_params = cast_floating(g_params, jnp.bfloat16)
 
+    # multi-chip serving: when several devices are visible and the batch
+    # divides evenly, shard the layout batch over a 1-D data mesh (params
+    # replicated) — same jit, GSPMD splits the work; numerics identical
+    # (eval-mode BN, no cross-sample coupling)
+    g_state = state.g_state
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from layout2img_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        g_params = jax.device_put(g_params, repl)
+        g_state = jax.device_put(g_state, repl)
+        _put = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data_sh), tree)
+        print(f"sampling data-parallel over {n_dev} devices")
+    else:
+        _put = lambda tree: tree
+
     # prep once per batch (split + H2D of only the keys the sampler reads),
     # reused across all num_img draws
     if args.model == "ours_ed":
@@ -189,16 +211,16 @@ def main(argv=None):
         def prep(batch):
             sb = split_fg_bg_batch(batch)
             keys = ("labels", "boxes_fg", "labels_fg", "boxes_bg", "labels_bg")
-            return {k: jnp.asarray(sb[k]) for k in keys}
+            return _put({k: jnp.asarray(sb[k]) for k in keys})
 
         def draw(prepped, srng):
-            return sample(g_params, state.g_state, prepped, srng)
+            return sample(g_params, g_state, prepped, srng)
     else:
         def prep(batch):
-            return (jnp.asarray(batch["boxes"]), jnp.asarray(batch["labels"]))
+            return _put((jnp.asarray(batch["boxes"]), jnp.asarray(batch["labels"])))
 
         def draw(prepped, srng):
-            return sample(g_params, state.g_state, *prepped, srng)
+            return sample(g_params, g_state, *prepped, srng)
 
     rng = jax.random.PRNGKey(args.seed)
     idx = 0

@@ -130,7 +130,7 @@ def run_inception(
 
 
 def run_inception_batches(
-    inception_apply, variables, batches, batch_size: int = 64
+    inception_apply, variables, batches, batch_size: int = 64, mesh=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Streaming variant of ``run_inception``: consumes an iterable of
     (<=batch_size, h, w, 3) chunks so an arbitrarily large sample directory
@@ -140,15 +140,27 @@ def run_inception_batches(
     ``inception_apply`` must be a STABLE callable (the same function object
     across calls): the jit wrapper is cached per function identity, so a
     per-call lambda or freshly-bound method defeats the cache and recompiles
-    InceptionV3 on every source (minutes each on the tunneled TPU)."""
+    InceptionV3 on every source (minutes each on the tunneled TPU).
+
+    ``mesh``: optional 1-D device mesh — image chunks are sharded over its
+    first axis (variables replicated) so feature extraction data-parallels
+    across chips; per-image features make the numbers placement-invariant.
+    Ignored when ``batch_size`` does not divide by the mesh size."""
     feats, probs = [], []
     jit_apply = _jitted(inception_apply)
+    data_sh = None
+    if mesh is not None and batch_size % mesh.devices.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
     for chunk in batches:
         chunk = np.asarray(chunk)
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-        f, p = jit_apply(variables, jnp.asarray(chunk))
+        chunk = jax.device_put(chunk, data_sh) if data_sh is not None else jnp.asarray(chunk)
+        f, p = jit_apply(variables, chunk)
         feats.append(np.asarray(f)[: batch_size - pad])
         probs.append(np.asarray(p)[: batch_size - pad])
     if not feats:

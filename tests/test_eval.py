@@ -236,3 +236,31 @@ def test_evaluate_fid_stats_cli(tmp_path, rng):
                  "--ref_stats", str(stats)] + common)
     with pytest.raises(SystemExit):
         ev.main(["fid", "--dir", str(d)] + common)
+
+
+def test_run_inception_batches_mesh_matches_single(rng):
+    """Multi-chip eval path: image chunks sharded over the 8-device CPU mesh
+    produce the same features/probs as the single-device run (per-image
+    features are placement-invariant; cli.evaluate turns this on whenever
+    several devices are visible)."""
+    from layout2img_tpu.eval.metrics import run_inception_batches
+    from layout2img_tpu.parallel.mesh import make_mesh
+
+    k = jnp.asarray(rng.standard_normal((12, 5)).astype(np.float32))
+
+    def apply(variables, x):
+        f = x.reshape(x.shape[0], -1) @ variables
+        return f, f * 0.1  # (feats, logits)
+
+    imgs = rng.standard_normal((10, 2, 2, 3)).astype(np.float32)
+    f1, p1 = run_inception_batches(apply, k, iter([imgs[:8], imgs[8:]]), 8)
+    mesh = make_mesh(jax.devices()[:8])
+    f2, p2 = run_inception_batches(apply, k, iter([imgs[:8], imgs[8:]]), 8, mesh=mesh)
+    assert f1.shape == (10, 5)
+    # sharded matmuls accumulate in a different order -> float-level only
+    np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
+
+    # non-divisible batch: mesh silently ignored, numbers unchanged
+    f3, _ = run_inception_batches(apply, k, iter([imgs[:5], imgs[5:10]]), 5, mesh=mesh)
+    np.testing.assert_allclose(f1, f3, rtol=1e-4, atol=1e-5)

@@ -368,3 +368,30 @@ def test_vgg_loss_bf16_close_to_f32(rng):
 
     g = jax.grad(lambda a: vgg(a, real, dtype=jnp.bfloat16))(fake)
     assert np.isfinite(np.asarray(g, np.float32)).all() and np.abs(np.asarray(g, np.float32)).max() > 0
+
+
+@pytest.mark.slow
+def test_sample_fn_sharded_matches_single(rng):
+    """Multi-chip serving path (cli.sample): batch sharded over the mesh with
+    replicated params produces the same images as the single-device jit —
+    the z draw is counter-based (placement-invariant) and eval-mode BN has
+    no cross-sample coupling."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, b=8)
+    sample = make_sample_fn(gen, cfg)
+    key = jax.random.PRNGKey(3)
+    ref = jax.jit(sample)(
+        state.g_params, state.g_state, batch["boxes"], batch["labels"], key)
+
+    mesh = make_mesh(jax.devices()[:8])
+    repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    out = jax.jit(sample)(
+        jax.device_put(state.g_params, repl),
+        jax.device_put(state.g_state, repl),
+        jax.device_put(batch["boxes"], data),
+        jax.device_put(batch["labels"], data),
+        key,
+    )
+    assert out.sharding.is_equivalent_to(data, out.ndim)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4)
