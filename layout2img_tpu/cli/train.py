@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save_every_epochs", type=int, default=5)
+    p.add_argument("--async_ckpt", action="store_true",
+                   help="non-blocking checkpointing: snapshot the state "
+                        "on-device (one jit dispatch) and run the D2H "
+                        "transfer + Orbax write in a background thread "
+                        "while training continues (single-process only)")
     p.add_argument("--log_every", type=int, default=500)
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror metrics/image grids into tensorboardX event "
@@ -228,6 +233,23 @@ def main(argv=None):
 
     devices = jax.devices()
     n_proc = jax.process_count()
+    if args.async_ckpt:
+        if n_proc == 1:
+            from layout2img_tpu.train.checkpoint import AsyncSaver
+
+            ckpt = AsyncSaver(ckpt)
+        else:
+            logger.warning("--async_ckpt ignored: multi-host Orbax saves are "
+                           "collective and must stay on the main thread")
+
+    def save_ckpt(st):
+        from layout2img_tpu.train.checkpoint import AsyncSaver
+
+        if isinstance(ckpt, AsyncSaver):
+            ckpt.save(st)  # snapshots on device; D2H happens in background
+        else:
+            ckpt.save(jax.device_get(st) if n_proc == 1 else st)
+
     if n_proc > 1:
         # multi-host: all devices, per-process batch (scripts/launch_multihost.py)
         if (args.batch_size * n_proc) % len(devices):
@@ -361,9 +383,10 @@ def main(argv=None):
                 logger.info("eval step %d: %s", global_step,
                             {k: round(v, 4) for k, v in em.items()})
         if (epoch + 1) % args.save_every_epochs == 0:
-            ckpt.save(jax.device_get(state) if n_proc == 1 else state)
+            save_ckpt(state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
-    ckpt.save(jax.device_get(state) if n_proc == 1 else state)
+    save_ckpt(state)
+    getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     writer.close()
     logger.info("done: %d steps", global_step)
 
@@ -430,9 +453,14 @@ def main_special(args):
         step_fn = jax.jit(make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg), donate_argnums=(0,))
         prepare = lambda b: b
 
-    from layout2img_tpu.train.checkpoint import CheckpointManager
+    from layout2img_tpu.train.checkpoint import AsyncSaver, CheckpointManager
 
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
+    if args.async_ckpt:
+        ckpt = AsyncSaver(ckpt)
+        save_ckpt = ckpt.save  # snapshots on device, D2H in background
+    else:
+        save_ckpt = lambda st: ckpt.save(jax.device_get(st))
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
 
@@ -451,8 +479,9 @@ def main_special(args):
                 writer.write(global_step, m)
                 writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
         if (epoch + 1) % args.save_every_epochs == 0:
-            ckpt.save(jax.device_get(state))
-    ckpt.save(jax.device_get(state))
+            save_ckpt(state)
+    save_ckpt(state)
+    getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     writer.close()
     logger.info("done: %d steps", global_step)
 

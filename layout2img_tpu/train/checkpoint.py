@@ -87,3 +87,65 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+class AsyncSaver:
+    """Non-blocking checkpointing around a :class:`CheckpointManager`.
+
+    The training loop donates the state buffers to the next jitted step, so a
+    checkpoint must capture the state before training continues. The cheap
+    part of that is an ON-DEVICE copy (one fused jit dispatch — critical over
+    the remote-TPU transport, where per-leaf eager copies would cost ~1 s
+    each); the expensive parts — device-to-host transfer of the full state
+    and the Orbax write — then run in a background thread against the
+    snapshot while training proceeds. Single-process only: multi-host Orbax
+    saves are collective and must stay on the main thread in step-lockstep.
+    """
+
+    def __init__(self, mgr: CheckpointManager):
+        self._mgr = mgr
+        self._thread = None
+        self._err: BaseException | None = None
+        self._snapshot = None  # jitted on-device tree copy
+
+    def save(self, state: GANTrainState, step: int | None = None) -> None:
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        self.wait()  # one save in flight at a time
+        if self._snapshot is None:
+            self._snapshot = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        snap = self._snapshot(state)
+        step = int(state.step) if step is None else step
+
+        def work():
+            try:
+                self._mgr.save(jax.device_get(snap), step)
+            except BaseException as e:  # surfaced on the next wait()/save()
+                self._err = e
+
+        self._thread = threading.Thread(target=work, name="ckpt-save", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    # pass-throughs so the trainer can treat either manager uniformly
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, state: GANTrainState, step: int | None = None) -> GANTrainState:
+        self.wait()
+        return self._mgr.restore(state, step)
+
+    def close(self):
+        self.wait()
+        self._mgr.close()

@@ -395,3 +395,41 @@ def test_sample_fn_sharded_matches_single(rng):
     )
     assert out.sharding.is_equivalent_to(data, out.ndim)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_async_saver_survives_donation(rng, tmp_path):
+    """AsyncSaver must capture the state BEFORE the next donated step
+    invalidates its buffers: save at step 1, keep training (donating), and
+    the restored checkpoint equals the state at step 1 — not a later one,
+    and not garbage from a freed buffer."""
+    from layout2img_tpu.train.checkpoint import AsyncSaver, CheckpointManager
+
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng)
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    state, _ = jstep(state, batch, jax.random.PRNGKey(0))
+    want = jax.device_get(state.g_params)  # host copy of the step-1 params
+
+    ckpt = AsyncSaver(CheckpointManager(str(tmp_path / "ckpt")))
+    ckpt.save(state)
+    # keep training immediately: donation consumes the old state's buffers
+    # while the async D2H/write is (potentially) still running
+    for i in range(2):
+        state, _ = jstep(state, batch, jax.random.PRNGKey(1 + i))
+    ckpt.wait()
+
+    template = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, batch, TrainConfig(use_vgg_loss=False))
+    restored = ckpt.restore(template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params kept moving after the snapshot (the saved copy is not aliased)
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(state.g_params)))
+    assert moved > 0
+    ckpt.close()
