@@ -338,6 +338,18 @@ def main(argv=None):
                     evaluator.n_images, args.eval_every)
     elif args.eval_every > 0:
         logger.warning("--eval_every is single-process only; disabled here")
+    # Preemption safety (reference: none — a SIGTERM'd run loses everything
+    # since its last 5-epoch save): on SIGTERM, finish the current step, save
+    # a checkpoint, and exit 0. Cluster schedulers (SLURM/GKE) signal every
+    # process, so the collective multi-host save proceeds in lockstep.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -382,11 +394,18 @@ def main(argv=None):
                 writer.write(global_step, em)
                 logger.info("eval step %d: %s", global_step,
                             {k: round(v, 4) for k, v in em.items()})
+            if preempted["flag"]:
+                break
+        if preempted["flag"]:
+            logger.info("SIGTERM: saving checkpoint at step %d and exiting",
+                        global_step)
+            break
         if (epoch + 1) % args.save_every_epochs == 0:
             save_ckpt(state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
     save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
+    signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
     logger.info("done: %d steps", global_step)
 

@@ -1,0 +1,60 @@
+"""Preemption safety: a SIGTERM'd training run saves a checkpoint and exits 0.
+
+The reference has no failure handling (SURVEY.md section 5.3) — a preempted
+run loses everything since the last 5-epoch save. Here cli.train catches
+SIGTERM, finishes the in-flight step, writes a full-state checkpoint, and
+exits cleanly, so cluster preemption costs at most one step.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+
+@pytest.mark.slow
+def test_sigterm_saves_checkpoint_and_exits_zero(tmp_path):
+    out = str(tmp_path)
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "layout2img_tpu.cli.train",
+         "--model", "ours_d", "--dataset", "synthetic",
+         "--total_epoch", "1000", "--steps_per_epoch", "50",
+         "--batch_size", "2", "--img_size", "64", "--ch", "4", "--no_vgg",
+         "--log_every", "1", "--save_every_epochs", "100000",
+         "--out_path", out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    run_dir = os.path.join(out, "synthetic", "64", "ours_d")
+    metrics = os.path.join(run_dir, "metrics.jsonl")
+
+    # wait until training is demonstrably under way (>= 2 logged steps)
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break
+        try:
+            with open(metrics) as f:
+                if sum(1 for _ in f) >= 2:
+                    break
+        except FileNotFoundError:
+            pass
+        time.sleep(2)
+    assert proc.poll() is None, "train exited early:\n" + proc.stdout.read()
+
+    proc.send_signal(signal.SIGTERM)
+    out_text, _ = proc.communicate(timeout=900)
+    assert proc.returncode == 0, out_text
+    assert "SIGTERM: saving checkpoint" in out_text, out_text
+
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    saved = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert saved, out_text
+    # the saved step matches a step training actually reached
+    with open(metrics) as f:
+        logged = [json.loads(ln)["step"] for ln in f]
+    assert max(int(s) for s in saved) <= max(logged) + 1
