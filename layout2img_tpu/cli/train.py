@@ -233,22 +233,18 @@ def main(argv=None):
 
     devices = jax.devices()
     n_proc = jax.process_count()
-    if args.async_ckpt:
-        if n_proc == 1:
-            from layout2img_tpu.train.checkpoint import AsyncSaver
-
-            ckpt = AsyncSaver(ckpt)
-        else:
-            logger.warning("--async_ckpt ignored: multi-host Orbax saves are "
-                           "collective and must stay on the main thread")
-
-    def save_ckpt(st):
+    if args.async_ckpt and n_proc == 1:
         from layout2img_tpu.train.checkpoint import AsyncSaver
 
-        if isinstance(ckpt, AsyncSaver):
-            ckpt.save(st)  # snapshots on device; D2H happens in background
-        else:
-            ckpt.save(jax.device_get(st) if n_proc == 1 else st)
+        ckpt = AsyncSaver(ckpt)
+        save_ckpt = ckpt.save  # snapshots on device; D2H happens in background
+    elif n_proc == 1:
+        save_ckpt = lambda st: ckpt.save(jax.device_get(st))
+    else:
+        if args.async_ckpt:
+            logger.warning("--async_ckpt ignored: multi-host Orbax saves are "
+                           "collective and must stay on the main thread")
+        save_ckpt = ckpt.save
 
     if n_proc > 1:
         # multi-host: all devices, per-process batch (scripts/launch_multihost.py)
@@ -340,8 +336,11 @@ def main(argv=None):
         logger.warning("--eval_every is single-process only; disabled here")
     # Preemption safety (reference: none — a SIGTERM'd run loses everything
     # since its last 5-epoch save): on SIGTERM, finish the current step, save
-    # a checkpoint, and exit 0. Cluster schedulers (SLURM/GKE) signal every
-    # process, so the collective multi-host save proceeds in lockstep.
+    # a checkpoint, and exit 0. Single-process only: signal delivery is not
+    # step-synchronized across hosts, so per-host break points can diverge by
+    # a step and deadlock a collective train step against the collective
+    # Orbax save — multi-host preemption needs a cross-host agreement
+    # protocol this loop does not implement.
     import signal
 
     preempted = {"flag": False}
@@ -349,7 +348,9 @@ def main(argv=None):
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
 
-    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    prev_handler = None
+    if n_proc == 1:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -405,7 +406,10 @@ def main(argv=None):
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
     save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
-    signal.signal(signal.SIGTERM, prev_handler)
+    if prev_handler is not None:
+        # None means either "we never installed a handler" (multi-host) or a
+        # non-Python handler we cannot reinstall — leave ours in place then
+        signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
     logger.info("done: %d steps", global_step)
 
@@ -483,6 +487,13 @@ def main_special(args):
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
 
+    # same single-process SIGTERM preemption save as main()
+    import signal
+
+    preempted = {"flag": False}
+    prev_handler = signal.signal(
+        signal.SIGTERM, lambda signum, frame: preempted.update(flag=True))
+
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = int(jax.device_get(state.step))
     for epoch in range(args.total_epoch):
@@ -497,10 +508,18 @@ def main_special(args):
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
                 writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
+            if preempted["flag"]:
+                break
+        if preempted["flag"]:
+            logger.info("SIGTERM: saving checkpoint at step %d and exiting",
+                        global_step)
+            break
         if (epoch + 1) % args.save_every_epochs == 0:
             save_ckpt(state)
     save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
     logger.info("done: %d steps", global_step)
 

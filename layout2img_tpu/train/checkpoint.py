@@ -109,12 +109,22 @@ class AsyncSaver:
         self._snapshot = None  # jitted on-device tree copy
 
     def save(self, state: GANTrainState, step: int | None = None) -> None:
+        import logging
         import threading
 
         import jax
         import jax.numpy as jnp
 
-        self.wait()  # one save in flight at a time
+        # one save in flight at a time. A PREVIOUS save's failure must not
+        # abort this one (e.g. a transient epoch-save failure would otherwise
+        # poison the final SIGTERM preemption save) — log it and proceed;
+        # explicit wait() still raises.
+        self._join()
+        if self._err is not None:
+            logging.getLogger(__name__).warning(
+                "previous async checkpoint save failed; attempting the next "
+                "save anyway: %r", self._err)
+            self._err = None
         if self._snapshot is None:
             self._snapshot = jax.jit(
                 lambda t: jax.tree_util.tree_map(jnp.copy, t))
@@ -130,10 +140,13 @@ class AsyncSaver:
         self._thread = threading.Thread(target=work, name="ckpt-save", daemon=True)
         self._thread.start()
 
-    def wait(self) -> None:
+    def _join(self) -> None:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+
+    def wait(self) -> None:
+        self._join()
         if self._err is not None:
             err, self._err = self._err, None
             raise RuntimeError("async checkpoint save failed") from err
