@@ -191,10 +191,15 @@ def main(argv=None):
         # multi-chip eval: shard image chunks over every visible device
         # (per-image features, placement-invariant numbers)
         mesh = None
-        if len(jax.devices()) > 1 and args.batch_size % len(jax.devices()) == 0:
+        n_dev = len(jax.devices())
+        if n_dev > 1 and args.batch_size % n_dev == 0:
             from layout2img_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
+        elif n_dev > 1:
+            print(f"WARNING: --batch_size {args.batch_size} does not divide "
+                  f"by {n_dev} devices — evaluating on ONE device "
+                  f"({n_dev}x slower). Pick a multiple of {n_dev}.")
 
         if args.mode == "is":
             for name, batches in sources:

@@ -27,7 +27,8 @@ def parse_args(argv=None):
                    help="0 = the model preset's native size")
     p.add_argument("--ch", type=int, default=64)
     p.add_argument("--l2i_fusion", default="transformer",
-                   choices=["transformer", "convlstm", "transformer_decoder"],
+                   choices=["transformer", "convlstm", "transformer_decoder",
+                            "transformer_noctx"],
                    help="layout2im fusion variant — must match training")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_layouts", type=int, default=0)
@@ -204,6 +205,10 @@ def main(argv=None):
             lambda x: jax.device_put(np.asarray(x), data_sh), tree)
         print(f"sampling data-parallel over {n_dev} devices")
     else:
+        if n_dev > 1:
+            print(f"WARNING: --batch_size {args.batch_size} does not divide "
+                  f"by {n_dev} devices — sampling on ONE device "
+                  f"({n_dev}x slower). Pick a multiple of {n_dev}.")
         _put = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
     # prep once per batch (split + H2D of only the keys the sampler reads),

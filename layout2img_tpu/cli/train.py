@@ -69,15 +69,24 @@ def parse_args(argv=None):
                         "activation ones) — finer-grained than --remat d; "
                         "unlocks batch 192 at 128px with less recompute")
     p.add_argument("--l2i_fusion", default="transformer",
-                   choices=["transformer", "convlstm", "transformer_decoder"],
+                   choices=["transformer", "convlstm", "transformer_decoder",
+                            "transformer_noctx"],
                    help="layout2im fusion variant (generator_app / generator "
-                        "baselines / generator1)")
+                        "baselines / generator1 / generator2)")
     p.add_argument("--torch_ckpt_g", default="",
                    help="reference G .pth to fine-tune from (wires "
                         "legacy_attention automatically; matches the "
                         "reference's resume workflow, train_context_app_v2.py:71-104)")
     p.add_argument("--torch_ckpt_d", default="",
                    help="reference D .pth to fine-tune from")
+    p.add_argument("--preempt_sync_every", type=int, default=25,
+                   help="multi-host only: steps between cross-host SIGTERM "
+                        "polls. Each poll all-reduces the hosts' local "
+                        "preemption flags so every process breaks at the SAME "
+                        "step before the collective checkpoint save; it also "
+                        "host-syncs the dispatch pipeline, so it should stay "
+                        "well above 1. Preemption grace must cover "
+                        "sync_every steps + one save.")
     p.add_argument("--profile_dir", default="", help="write a jax profiler trace of steps 10-20")
     p.add_argument("--eval_every", type=int, default=0,
                    help="every N steps, sample a frozen real-layout pool and "
@@ -336,11 +345,18 @@ def main(argv=None):
         logger.warning("--eval_every is single-process only; disabled here")
     # Preemption safety (reference: none — a SIGTERM'd run loses everything
     # since its last 5-epoch save): on SIGTERM, finish the current step, save
-    # a checkpoint, and exit 0. Single-process only: signal delivery is not
-    # step-synchronized across hosts, so per-host break points can diverge by
-    # a step and deadlock a collective train step against the collective
-    # Orbax save — multi-host preemption needs a cross-host agreement
-    # protocol this loop does not implement.
+    # a checkpoint, and exit 0.
+    #
+    # Multi-host: signal delivery is NOT step-synchronized across hosts —
+    # per-host break points could diverge by a step and deadlock a collective
+    # train step against the collective Orbax save. So each host only SETS a
+    # local flag; every --preempt_sync_every steps the flags are OR-reduced
+    # across processes (multihost_utils.process_allgather at a deterministic
+    # step cadence, so all processes enter the collective together), and the
+    # loop breaks on the REDUCED flag only — every process stops at the same
+    # step and the collective save is safe. The poll host-syncs the dispatch
+    # pipeline, hence the cadence; single-process checks the local flag every
+    # step for free.
     import signal
 
     preempted = {"flag": False}
@@ -348,9 +364,23 @@ def main(argv=None):
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
 
-    prev_handler = None
-    if n_proc == 1:
-        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        sync_every = max(1, args.preempt_sync_every)
+
+        def should_stop(step: int) -> bool:
+            if step % sync_every:
+                return False
+            flags = multihost_utils.process_allgather(
+                np.asarray(preempted["flag"], np.int32))
+            return bool(np.asarray(flags).any())
+    else:
+        def should_stop(step: int) -> bool:
+            return preempted["flag"]
+
+    stop = False
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -395,11 +425,14 @@ def main(argv=None):
                 writer.write(global_step, em)
                 logger.info("eval step %d: %s", global_step,
                             {k: round(v, 4) for k, v in em.items()})
-            if preempted["flag"]:
+            if should_stop(global_step):
+                stop = True
                 break
-        if preempted["flag"]:
-            logger.info("SIGTERM: saving checkpoint at step %d and exiting",
-                        global_step)
+        if stop:
+            logger.info(
+                "SIGTERM%s: saving checkpoint at step %d and exiting",
+                f" (synchronized across {n_proc} processes)" if n_proc > 1 else "",
+                global_step)
             break
         if (epoch + 1) % args.save_every_epochs == 0:
             save_ckpt(state)
@@ -407,8 +440,7 @@ def main(argv=None):
     save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     if prev_handler is not None:
-        # None means either "we never installed a handler" (multi-host) or a
-        # non-Python handler we cannot reinstall — leave ours in place then
+        # None = a non-Python handler we cannot reinstall — leave ours then
         signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
     logger.info("done: %d steps", global_step)
@@ -419,6 +451,15 @@ def main_special(args):
     from layout2img_tpu.cli.presets import dataset_spec
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
+    if jax.process_count() > 1:
+        # These trainers have no mesh/collective path: N processes would
+        # train N independent divergent states and race them into one
+        # checkpoint dir. Refuse rather than corrupt (ADVICE r3: the
+        # unconditional SIGTERM handler + async saves here were also only
+        # correct single-process).
+        raise SystemExit(
+            f"--model {args.model} is a single-process trainer; launch it "
+            f"without scripts/launch_multihost.py / jax.distributed")
     if args.img_size not in (0, 64):
         raise SystemExit(f"--model {args.model} is a 64px family; got --img_size {args.img_size}")
     args.img_size = 64

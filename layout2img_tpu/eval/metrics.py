@@ -154,6 +154,13 @@ def run_inception_batches(
 
         data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    elif mesh is not None:
+        import warnings
+
+        warnings.warn(
+            f"batch_size {batch_size} does not divide by the {mesh.devices.size}"
+            f"-device mesh; running single-device ({mesh.devices.size}x slower)",
+            stacklevel=2)
     for chunk in batches:
         chunk = np.asarray(chunk)
         pad = batch_size - chunk.shape[0]

@@ -10,7 +10,9 @@ and image/object discriminators with the Gram appearance head.
 Reference mapping:
 - ``generator_app.py:719-774``  CropEncoder
 - ``generator_app.py:777-861``  LayoutEncoder (transformer_encoder replaces
-  the ConvLSTM fusion, :844-855)
+  the ConvLSTM fusion, :844-855; fusion variants cover generator.py
+  (convlstm), generator1.py (transformer_decoder) and generator2.py
+  (transformer_noctx — no object-context attention, :446-525))
 - ``generator_app.py:864-899``  Decoder
 - ``generator_app.py:902-962``  Generator / Generator_context (8-tuple)
 - ``discriminator_app.py:102-187``  ImageDiscriminator / ObjectDiscriminator
@@ -217,7 +219,10 @@ class LayoutEncoder(fnn.Module):
     # "convlstm" == the upstream layout2im baseline (generator{,1,2}.py);
     # "transformer_decoder" == the generator1 variant that refines the
     # composed map with the learned-query set decoder (generator1.py:561,
-    # 579-580) instead of encoder self-attention
+    # 579-580) instead of encoder self-attention;
+    # "transformer_noctx" == the generator2 variant: identical spatial
+    # transformer refinement but NO object-level context attention before
+    # the mask broadcast (generator2.py:446-525 has no `self.context`)
     fusion: str = "transformer"
 
     @fnn.compact
@@ -228,9 +233,10 @@ class LayoutEncoder(fnn.Module):
         vec = jnp.concatenate([emb, z], axis=-1)  # (b, o, emb+z)
 
         d = self.embedding_dim + self.z_dim
-        vec = MultiHeadAttention(1, d, d, d, dropout_rate=0.0, name="context")(
-            vec, vec, vec, labels=labels, deterministic=deterministic
-        )
+        if self.fusion != "transformer_noctx":
+            vec = MultiHeadAttention(1, d, d, d, dropout_rate=0.0, name="context")(
+                vec, vec, vec, labels=labels, deterministic=deterministic
+            )
 
         # broadcast each object's vector into its mask footprint
         h = vec[:, :, None, None, :] * masks[..., None]  # (b, o, 64, 64, d)

@@ -91,6 +91,13 @@ class BoxMultiHeadedAttention(fnn.Module):
             logits = jnp.log(jnp.maximum(w_g, 1e-6)) + logits
 
         attn = jax.nn.softmax(logits, axis=-1)
+        # diagnosable post-softmax probabilities (capture with
+        # mutable=["intermediates"]): used to VERIFY that pad key slots carry
+        # ~zero attention mass at VG shape (o=31, ~6 valid) — the "softmax
+        # normalizes over pad slots" dilution hypothesis for the VG-shape
+        # conditioning plateau is refuted by measurement
+        # (tests/test_nn_attention.py::test_pad_softmax_mass_is_zero_at_vg_shape)
+        self.sow("intermediates", "attn_probs", attn)
         attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)

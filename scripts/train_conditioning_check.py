@@ -18,6 +18,17 @@ Shapes/variants (VERDICT r1 weak #8: evidence beyond COCO shape):
   python scripts/train_conditioning_check.py --preset graph128 --no_app_head
   python scripts/train_conditioning_check.py --preset context128_part --no_app_head
   python scripts/train_conditioning_check.py --num_classes 179 --objects 31  # VG shape
+
+Special families (VERDICT r3 missing #1 — learning evidence beyond
+finite-step tests):
+  python scripts/train_conditioning_check.py --preset ours_ed
+      fg/bg two-stream (train/step_bgfg.py): the task gains a class-colored
+      BACKGROUND (bg-stream conditioning) under the colored fg boxes
+      (fg-stream conditioning); both scores are tracked, the fg score gates.
+  python scripts/train_conditioning_check.py --preset layout2im
+      CVAE-GAN (train/step_layout2im.py): the score is measured on the
+      img_rand pathway (labels+boxes only, prior z — pure conditioning);
+      KL / img_rec L1 health are tracked alongside.
 """
 
 import argparse
@@ -37,10 +48,15 @@ from layout2img_tpu.models.generators import make_generator
 from layout2img_tpu.train.state import TrainConfig, create_train_state
 from layout2img_tpu.train.step import make_sample_fn, make_train_step
 
+PAD_BOX = (-0.6, -0.6, 0.5, 0.5)
+N_BG_CLASSES = 4  # background wall-colors for the ours_ed task (ids 1..4)
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", default="ours_d_context128")
+    p.add_argument("--preset", default="ours_d_context128",
+                   help="a make_generator preset, or the special families "
+                        "'ours_ed' / 'layout2im'")
     p.add_argument("--num_classes", type=int, default=12)
     p.add_argument("--objects", type=int, default=4)
     p.add_argument("--batch_size", type=int, default=32)
@@ -53,6 +69,9 @@ def parse_args(argv=None):
                    help="track relative FID (fixed-seed random inception)")
     p.add_argument("--image_out", default="docs/images/conditioning_target_vs_generated.png")
     p.add_argument("--min_score", type=float, default=0.5)
+    p.add_argument("--remat_d_blocks", type=int, default=0,
+                   help="checkpoint the first N D ResBlocks (needed to fit "
+                        "256px runs at useful batch sizes)")
     p.add_argument("--torch_init", action="store_true",
                    help="initialize G+D from random-weight REFERENCE torch "
                         "models via the .pth importers (the cli.train "
@@ -74,7 +93,7 @@ def make_palette(num_classes):
 def make_batch(rng, a, palette):
     b, o, s = a.batch_size, a.objects, a.img_size
     labels = np.zeros((b, o), np.int32)
-    boxes = np.tile(np.asarray([-0.6, -0.6, 0.5, 0.5], np.float32), (b, o, 1))
+    boxes = np.tile(np.asarray(PAD_BOX, np.float32), (b, o, 1))
     images = np.full((b, s, s, 3), -0.2, np.float32)  # gray bg
     for i in range(b):
         n = int(rng.integers(2, min(o, 6) + 1))
@@ -90,6 +109,38 @@ def make_batch(rng, a, palette):
         "labels": jnp.asarray(labels),
         "boxes": jnp.asarray(boxes),
     }
+
+
+def make_batch_bgfg(rng, a, palette):
+    """fg/bg task: a class-colored BACKGROUND (one of N_BG_CLASSES wall
+    colors, bg-stream label) under class-colored fg boxes. Produces the
+    split keys train/step_bgfg.py expects (mirroring data.coco.split_fg_bg:
+    fg ids 1..num_classes-1 keep their id; bg stream id j maps to combined
+    D id num_classes-1+j)."""
+    b, o, s = a.batch_size, a.objects, a.img_size
+    pad = np.asarray(PAD_BOX, np.float32)
+    out = {k: np.zeros((b, o), np.int32) for k in ("labels", "labels_fg", "labels_bg")}
+    out |= {k: np.tile(pad, (b, o, 1)) for k in ("boxes", "boxes_fg", "boxes_bg")}
+    images = np.empty((b, s, s, 3), np.float32)
+    for i in range(b):
+        j_bg = int(rng.integers(1, N_BG_CLASSES + 1))
+        images[i] = palette[a.num_classes - 1 + j_bg]
+        out["labels_bg"][i, 0] = j_bg
+        out["boxes_bg"][i, 0] = (0.0, 0.0, 1.0, 1.0)
+        out["labels"][i, o - 1] = a.num_classes - 1 + j_bg
+        out["boxes"][i, o - 1] = (0.0, 0.0, 1.0, 1.0)
+        n = int(rng.integers(1, min(o - 1, 5) + 1))
+        for j in range(n):
+            lab = int(rng.integers(1, a.num_classes))
+            x0, y0 = rng.uniform(0, 0.55, 2)
+            w, h = rng.uniform(0.25, 0.4, 2)
+            out["labels_fg"][i, j] = lab
+            out["boxes_fg"][i, j] = (x0, y0, w, h)
+            out["labels"][i, j] = lab
+            out["boxes"][i, j] = (x0, y0, w, h)
+            px = (np.array([x0, y0, x0 + w, y0 + h]) * s).astype(int).clip(0, s)
+            images[i, px[1]:px[3], px[0]:px[2]] = palette[lab]
+    return {k: jnp.asarray(v) for k, v in ({"images": images} | out).items()}
 
 
 def color_score(imgs, labels, boxes, s, palette):
@@ -113,8 +164,113 @@ def color_score(imgs, labels, boxes, s, palette):
     return float(np.mean(scores))
 
 
-def main(argv=None):
-    a = parse_args(argv)
+def bg_color_score(imgs, batch, s, palette, num_classes):
+    """ours_ed: cosine between the mean color OUTSIDE every fg box and the
+    target background wall color (the bg-stream conditioning signal)."""
+    imgs = np.asarray(imgs)
+    labels_fg = np.asarray(batch["labels_fg"])
+    boxes_fg = np.asarray(batch["boxes_fg"])
+    labels_bg = np.asarray(batch["labels_bg"])
+    scores = []
+    for i in range(imgs.shape[0]):
+        mask = np.ones((s, s), bool)
+        for j in range(labels_fg.shape[1]):
+            if labels_fg[i, j] == 0:
+                continue
+            x0, y0, w, h = boxes_fg[i, j]
+            px = (np.array([x0, y0, x0 + w, y0 + h]) * s).astype(int).clip(0, s)
+            mask[px[1]:px[3], px[0]:px[2]] = False
+        if not mask.any():
+            continue
+        got = imgs[i][mask].mean(0)
+        want = palette[num_classes - 1 + labels_bg[i, 0]]
+        scores.append(
+            float(got @ want / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-6))
+        )
+    return float(np.mean(scores))
+
+
+def build_family(a):
+    """Returns (state, step, sample_images, make_batch_fn, score_fn, pixel_key)
+    for the requested preset — the LostGAN family via the generic GAN step,
+    or one of the special-family trainers."""
+    if a.preset == "ours_ed":
+        from layout2img_tpu.models.discriminators import make_discriminator
+        from layout2img_tpu.models.generators import BgFgGenerator
+        from layout2img_tpu.train.step_bgfg import (
+            create_bgfg_state,
+            make_bgfg_sample_fn,
+            make_bgfg_train_step,
+        )
+
+        assert a.img_size == 64, "ours_ed is the 64px family"
+        palette = make_palette(a.num_classes + N_BG_CLASSES)
+        gen = BgFgGenerator(num_fg_classes=a.num_classes,
+                            num_bg_classes=N_BG_CLASSES + 1, ch=a.ch)
+        disc = make_discriminator("d64", a.num_classes + N_BG_CLASSES, ch=a.ch)
+        cfg = TrainConfig(use_vgg_loss=False)
+        batch_fn = lambda rng: make_batch_bgfg(rng, a, palette)
+        example = batch_fn(np.random.default_rng(99))
+        state = create_bgfg_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
+        step = make_bgfg_train_step(gen, disc, cfg)
+        raw_sample = make_bgfg_sample_fn(gen, cfg)
+        sample = jax.jit(lambda gp, gs, batch, rng: raw_sample(gp, gs, batch, rng))
+
+        def score_fn(st, batch, rng):
+            img = sample(st.g_params, st.g_state, batch, rng)
+            fg = color_score(np.asarray(img), np.asarray(batch["labels_fg"]),
+                             np.asarray(batch["boxes_fg"]), a.img_size, palette)
+            bg = bg_color_score(img, batch, a.img_size, palette, a.num_classes)
+            return fg, {"bg": bg}, np.asarray(img)
+
+        return state, step, batch_fn, score_fn, "pixel_loss", palette
+
+    if a.preset == "layout2im":
+        from layout2img_tpu.models.layout2im import (
+            Layout2ImGenerator,
+            Layout2ImImageDiscriminator,
+            Layout2ImObjectDiscriminator,
+        )
+        from layout2img_tpu.ops.bbox import bbox_mask
+        from layout2img_tpu.train.step_layout2im import (
+            Layout2ImConfig,
+            create_layout2im_state,
+            make_layout2im_train_step,
+        )
+
+        assert a.img_size == 64, "layout2im is the 64px family"
+        palette = make_palette(a.num_classes)
+        gen = Layout2ImGenerator(num_classes=a.num_classes)
+        d_img = Layout2ImImageDiscriminator(conv_dim=a.ch)
+        d_obj = Layout2ImObjectDiscriminator(num_classes=a.num_classes, conv_dim=a.ch)
+        l2i_cfg = Layout2ImConfig()
+        batch_fn = lambda rng: make_batch(rng, a, palette)
+        example = batch_fn(np.random.default_rng(99))
+        state = create_layout2im_state(jax.random.PRNGKey(0), gen, d_img, d_obj,
+                                       example, l2i_cfg)
+        step = make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg)
+
+        def raw_sample(g_params, g_state, batch, rng):
+            # the img_rand pathway: labels+boxes only, prior z — the purest
+            # conditioning probe this family has
+            b, o = batch["labels"].shape
+            masks = bbox_mask(batch["boxes"], 64, 64)
+            z = jax.random.normal(rng, (b, o, gen.z_dim))
+            return gen.apply({"params": g_params, **g_state},
+                             batch["labels"], batch["boxes"], masks, z,
+                             method=Layout2ImGenerator.sample)
+
+        sample = jax.jit(raw_sample)
+
+        def score_fn(st, batch, rng):
+            img = sample(st.g_params, st.g_state, batch, rng)
+            s = color_score(np.asarray(img), np.asarray(batch["labels"]),
+                            np.asarray(batch["boxes"]), a.img_size, palette)
+            return s, {}, np.asarray(img)
+
+        return state, step, batch_fn, score_fn, "img_rec_l1", palette
+
+    # ---- LostGAN family via the generic GAN step ----
     if a.torch_init:
         a.preset, a.ch, a.img_size, a.no_app_head = "ours_d_context128", 64, 128, False
         # the reference trained these weights with the attention-concat
@@ -124,12 +280,13 @@ def main(argv=None):
         gen = make_generator(a.preset, a.num_classes, ch=a.ch, image_size=a.img_size,
                              num_mask_classes=a.num_classes)
     palette = make_palette(a.num_classes)
-    rng_np = np.random.default_rng(0)
     disc = LayoutDiscriminator(num_classes=a.num_classes, image_size=a.img_size,
-                               ch=a.ch, app_head=not a.no_app_head)
-    batches = [make_batch(rng_np, a, palette) for _ in range(8)]
+                               ch=a.ch, app_head=not a.no_app_head,
+                               remat_blocks=a.remat_d_blocks)
     cfg = TrainConfig(use_vgg_loss=False, mixed_precision=True)
-    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batches[0], cfg)
+    batch_fn = lambda rng: make_batch(rng, a, palette)
+    example = batch_fn(np.random.default_rng(99))
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)
     if a.torch_init:
         import importlib
 
@@ -157,9 +314,25 @@ def main(argv=None):
         print(f"[torch_init] G+D initialized from reference torch models "
               f"(nc={a.num_classes}); training continues from imported weights")
     step = make_train_step(gen, disc, cfg)
-    sample = jax.jit(make_sample_fn(gen, cfg))
+    raw_sample = make_sample_fn(gen, cfg)
+    sample = jax.jit(lambda gp, gs, batch, rng: raw_sample(gp, gs, batch["boxes"],
+                                                           batch["labels"], rng))
 
-    eval_batches = [make_batch(rng_np, a, palette) for _ in range(4)]
+    def score_fn(st, batch, rng):
+        img = sample(st.g_params, st.g_state, batch, rng)
+        s = color_score(np.asarray(img), np.asarray(batch["labels"]),
+                        np.asarray(batch["boxes"]), a.img_size, palette)
+        return s, {}, np.asarray(img)
+
+    return state, step, batch_fn, score_fn, "pixel_loss", palette
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    state, step, batch_fn, score_fn, pixel_key, palette = build_family(a)
+    rng_np = np.random.default_rng(0)
+    batches = [batch_fn(rng_np) for _ in range(8)]
+    eval_batches = [batch_fn(rng_np) for _ in range(4)]
     eval_batch = eval_batches[0]
 
     fid_fn = None
@@ -175,28 +348,26 @@ def main(argv=None):
             a.batch_size)
 
         def fid_fn(st):
-            fakes = (np.asarray(sample(st.g_params, st.g_state, b["boxes"],
-                                       b["labels"], jax.random.PRNGKey(70 + i)))
+            fakes = (score_fn(st, b, jax.random.PRNGKey(70 + i))[2]
                      for i, b in enumerate(eval_batches))
             feats, _ = run_inception_batches(apply, variables, fakes, a.batch_size)
             return fid_from_features(feats, real_feats)
 
     def score(state):
-        img = sample(state.g_params, state.g_state, eval_batch["boxes"],
-                     eval_batch["labels"], jax.random.PRNGKey(7))
-        return color_score(img, np.asarray(eval_batch["labels"]),
-                           np.asarray(eval_batch["boxes"]), a.img_size, palette)
+        s, extra, _ = score_fn(state, eval_batch, jax.random.PRNGKey(7))
+        return s, extra
 
-    s0 = score(state)
+    s0, extra0 = score(state)
     fid0 = fid_fn(state) if fid_fn else None
     print(f"[{a.preset} c={a.num_classes} o={a.objects}] "
           f"color score before training: {s0:+.3f}"
+          + "".join(f"  {k} {v:+.3f}" for k, v in extra0.items())
           + (f"  rel-FID {fid0:8.2f}" if fid0 is not None else ""))
 
     def chunk(state, rngs, batch):
         def body(s, rng):
             s, m = step(s, batch, rng)
-            return s, (m["d_loss"], m["pixel_loss"])
+            return s, (m["d_loss"], m[pixel_key])
 
         return jax.lax.scan(body, state, rngs)
 
@@ -210,22 +381,23 @@ def main(argv=None):
         assert np.isfinite(pixel_trace[-1]) and np.isfinite(float(d_l[-1])), \
             f"training diverged at chunk {i}"
         if (i + 1) % 4 == 0:
-            s = score(state)
+            s, extra = score(state)
             fid = fid_fn(state) if fid_fn else None
             print(f"steps {(i + 1) * 50:4d}: d_loss {float(d_l[-1]):6.3f} "
-                  f"pixel {float(p_l[-1]):5.3f} color-score {s:+.3f} "
+                  f"{pixel_key} {float(p_l[-1]):5.3f} color-score {s:+.3f} "
+                  + "".join(f"{k} {v:+.3f} " for k, v in extra.items())
                   + (f"rel-FID {fid:8.2f} " if fid is not None else "")
                   + f"({time.perf_counter() - t0:5.1f}s)")
-    s1 = score(state)
-    print(f"\ncolor-conditioning score: {s0:+.3f} -> {s1:+.3f}")
+    s1, extra1 = score(state)
+    print(f"\ncolor-conditioning score: {s0:+.3f} -> {s1:+.3f}"
+          + "".join(f"  {k} {extra0[k]:+.3f} -> {v:+.3f}" for k, v in extra1.items()))
 
     if a.image_out:
         # visual artifact: target layouts vs generated
         os.makedirs(os.path.dirname(a.image_out) or ".", exist_ok=True)
         from layout2img_tpu.cli.visualize import draw_boxes
 
-        img_after = np.asarray(sample(state.g_params, state.g_state, eval_batch["boxes"],
-                                      eval_batch["labels"], jax.random.PRNGKey(7)))
+        _, _, img_after = score_fn(state, eval_batch, jax.random.PRNGKey(7))
         rows = []
         tgt = np.asarray(eval_batch["images"])
         for k in range(6):

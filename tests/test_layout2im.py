@@ -175,3 +175,28 @@ def test_layout2im_decoder_fusion_variant(rng):
     assert out["img_rec"].shape == (b, 64, 64, 3)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_layout2im_noctx_fusion_variant(rng):
+    """generator2-style fusion: the same spatial transformer refinement but
+    NO object-level context attention before the mask broadcast
+    (generator2.py:446-525 — its LayoutEncoder has no `self.context`)."""
+    from layout2img_tpu.models.layout2im import Layout2ImGenerator
+
+    b, o, zd = 2, 4, 8
+    gen = Layout2ImGenerator(num_classes=10, fusion="transformer_noctx")
+    images, labels, boxes, masks, z_rand = _inputs(rng, b, o, 10, zd)
+    variables = gen.init(
+        jax.random.PRNGKey(0), images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1)
+    )
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    keys = [jax.tree_util.keystr(kp) for kp, _ in flat]
+    assert not any("context" in k for k in keys)  # generator2 drops it
+    assert any("transformer_encoder" in k for k in keys)  # refinement kept
+    out, _ = gen.apply(
+        variables, images, labels, boxes, masks, z_rand, jax.random.PRNGKey(1),
+        mutable=["batch_stats"],
+    )
+    assert out["img_rec"].shape == (b, 64, 64, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k

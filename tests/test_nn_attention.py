@@ -100,6 +100,39 @@ def test_box_attention_pad_keys_ignored(rng):
     np.testing.assert_allclose(out1[0, :4], out2[0, :4], rtol=1e-4, atol=1e-5)
 
 
+def test_pad_softmax_mass_is_zero_at_vg_shape(rng):
+    """VG-shape plateau diagnosis (VERDICT r3 weak #1): the hypothesis
+    'attention softmax normalizes over ~25 pad slots' predicts nonzero
+    post-softmax mass on pad keys. Measure it at the exact VG shape
+    (o=31, 6 valid) in both f32 and the bf16 mixed-precision training dtype:
+    the mass is ~0, so pad dilution in the attention softmax is NOT the
+    cause — the remaining explanation is per-class embedding margin at
+    179 classes / debug width (the ch=24 vs ch=48 controlled runs,
+    docs/vg_plateau.md)."""
+    b, o, d = 2, 31, 308
+    for dtype in (np.float32, jnp.bfloat16):
+        w_in = rng.standard_normal((b, o, d)).astype(np.float32)
+        boxes = (rng.random((b, o, 4)).astype(np.float32) * 0.5 + 0.1)
+        boxes[:, 6:] = (-0.6, -0.6, 0.5, 0.5)  # pad box
+        labels = np.zeros((b, o), np.int32)
+        labels[:, :6] = rng.integers(1, 179, (b, 6))
+
+        mod = BoxMultiHeadedAttention(heads=1, d_model=d, dropout_rate=0.0)
+        variables = mod.init(
+            jax.random.PRNGKey(0), jnp.asarray(w_in), jnp.asarray(w_in),
+            jnp.asarray(w_in), jnp.asarray(boxes), jnp.asarray(labels),
+        )
+        x = jnp.asarray(w_in, dtype)
+        _, inter = mod.apply(
+            variables, x, x, x, jnp.asarray(boxes, dtype), jnp.asarray(labels),
+            mutable=["intermediates"],
+        )
+        (attn,) = inter["intermediates"]["attn_probs"]  # (b, h, q, k)
+        pad_mass = np.asarray(attn, np.float32)[..., 6:].sum(-1)
+        valid_rows = pad_mass[:, :, :6]  # mass pad keys receive from valid queries
+        assert valid_rows.max() < 1e-6, valid_rows.max()
+
+
 def test_nogeo_ablation_drops_geometry(rng):
     b, o, d = 1, 4, 16
     w_in = rng.standard_normal((b, o, d)).astype(np.float32)

@@ -16,18 +16,29 @@ import time
 import pytest
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# JAX_PLATFORM_NAME/JAX_PLATFORMS env vars are IGNORED by the axon TPU
+# plugin (CLAUDE.md); force CPU the way scripts/launch_multihost.py does —
+# jax.config.update before the trainer import — so the child never trains
+# over the ~1 s/dispatch TPU tunnel (ADVICE r3).
+_CPU_SHIM = (
+    "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+    "from layout2img_tpu.cli.train import main; main(sys.argv[1:])"
+)
+
+
 @pytest.mark.slow
 def test_sigterm_saves_checkpoint_and_exits_zero(tmp_path):
     out = str(tmp_path)
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
     proc = subprocess.Popen(
-        [sys.executable, "-m", "layout2img_tpu.cli.train",
+        [sys.executable, "-c", _CPU_SHIM,
          "--model", "ours_d", "--dataset", "synthetic",
          "--total_epoch", "1000", "--steps_per_epoch", "50",
          "--batch_size", "2", "--img_size", "64", "--ch", "4", "--no_vgg",
          "--log_every", "1", "--save_every_epochs", "100000",
          "--out_path", out],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     run_dir = os.path.join(out, "synthetic", "64", "ours_d")
     metrics = os.path.join(run_dir, "metrics.jsonl")
