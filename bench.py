@@ -69,12 +69,24 @@ def main():
     )
 
     batch = synthetic_batch(np.random.default_rng(0), batch_size, size, num_obj, num_classes)
+    # BENCH_VALID_MAX caps the number of REAL objects per image (the rest of
+    # the o slots become pads), modelling real VG layouts: o=31 slots but
+    # ~6-10 annotated objects. This is the regime where BENCH_D_OBJ_BUDGET
+    # is exact (budget >= valid count) and shows its win.
+    valid_max = int(os.environ.get("BENCH_VALID_MAX", "0"))
+    if valid_max:
+        from layout2img_tpu.data.synthetic import PAD_BOX
+
+        batch["labels"][:, valid_max:] = 0
+        batch["boxes"][:, valid_max:] = np.asarray(PAD_BOX, np.float32)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
     fused_d = os.environ.get("BENCH_FUSED_D", "0") == "1"
     remat = os.environ.get("BENCH_REMAT", "none")
-    cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d, remat=remat)
+    d_obj_budget = int(os.environ.get("BENCH_D_OBJ_BUDGET", "0"))
+    cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d, remat=remat,
+                      d_obj_budget=d_obj_budget)
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))

@@ -192,14 +192,13 @@ def main(argv=None):
         # (per-image features, placement-invariant numbers)
         mesh = None
         n_dev = len(jax.devices())
-        if n_dev > 1 and args.batch_size % n_dev == 0:
+        if n_dev > 1:
             from layout2img_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
-        elif n_dev > 1:
-            print(f"WARNING: --batch_size {args.batch_size} does not divide "
-                  f"by {n_dev} devices — evaluating on ONE device "
-                  f"({n_dev}x slower). Pick a multiple of {n_dev}.")
+            if args.batch_size % n_dev:
+                print(f"note: --batch_size {args.batch_size} padded up to a "
+                      f"multiple of {n_dev} devices inside the eval loop")
 
         if args.mode == "is":
             for name, batches in sources:

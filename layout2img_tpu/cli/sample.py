@@ -182,17 +182,21 @@ def main(argv=None):
 
         g_params = cast_floating(g_params, jnp.bfloat16)
 
-    # multi-chip serving: when several devices are visible and the batch
-    # divides evenly, shard the layout batch over a 1-D data mesh (params
-    # replicated) — same jit, GSPMD splits the work; numerics identical
-    # (eval-mode BN, no cross-sample coupling)
+    # multi-chip serving: when several devices are visible, shard the layout
+    # batch over a 1-D data mesh (params replicated) — same jit, GSPMD splits
+    # the work; numerics identical (eval-mode BN, no cross-sample coupling).
+    # A batch that does not divide the device count is padded UP to the next
+    # multiple (pad layouts are generated and discarded), so serving never
+    # silently drops to one device.
     g_state = state.g_state
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch_size % n_dev == 0:
+    compiled_bs = args.batch_size
+    if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from layout2img_tpu.parallel.mesh import make_mesh
 
+        compiled_bs = -(-args.batch_size // n_dev) * n_dev
         mesh = make_mesh()
         repl = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P("data"))
@@ -203,12 +207,10 @@ def main(argv=None):
         # ~1 s/dispatch remote-TPU transport)
         _put = lambda tree: jax.tree_util.tree_map(
             lambda x: jax.device_put(np.asarray(x), data_sh), tree)
-        print(f"sampling data-parallel over {n_dev} devices")
+        pad_note = (f" (batch padded {args.batch_size} -> {compiled_bs})"
+                    if compiled_bs != args.batch_size else "")
+        print(f"sampling data-parallel over {n_dev} devices{pad_note}")
     else:
-        if n_dev > 1:
-            print(f"WARNING: --batch_size {args.batch_size} does not divide "
-                  f"by {n_dev} devices — sampling on ONE device "
-                  f"({n_dev}x slower). Pick a multiple of {n_dev}.")
         _put = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
     # prep once per batch (split + H2D of only the keys the sampler reads),
@@ -233,7 +235,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     idx = 0
     for batch in loader:
-        batch, n = pad_tail(batch, args.batch_size)
+        batch, n = pad_tail(batch, compiled_bs)
         prepped = prep(batch)
         for j in range(args.num_img):
             rng, srng = jax.random.split(rng)

@@ -68,6 +68,12 @@ def parse_args(argv=None):
                    help="remat only the first N D trunk blocks (the big-"
                         "activation ones) — finer-grained than --remat d; "
                         "unlocks batch 192 at 128px with less recompute")
+    p.add_argument("--d_obj_budget", type=int, default=0,
+                   help="give D only the first K valid-compacted object "
+                        "slots per image (0 = all). Exact when K >= the max "
+                        "objects per image in the data; on padded VG layouts "
+                        "(o=31, ~6-10 real) this skips the pad-slot RoI/"
+                        "object-head work the reference never did either")
     p.add_argument("--l2i_fusion", default="transformer",
                    choices=["transformer", "convlstm", "transformer_decoder",
                             "transformer_noctx"],
@@ -206,7 +212,7 @@ def main(argv=None):
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
                       mixed_precision=args.mixed_precision,
                       ema_decay=args.ema_decay, fused_d=args.fused_d,
-                      remat=args.remat)
+                      remat=args.remat, d_obj_budget=args.d_obj_budget)
     vgg = None
     if cfg.use_vgg_loss:
         params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None

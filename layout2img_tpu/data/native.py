@@ -26,14 +26,24 @@ _build_error: str | None = None
 def _build() -> str | None:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return None
+    # Build to a per-process temp path and rename atomically: concurrent
+    # builders (e.g. pytest-xdist workers hitting a stale .so) must not
+    # write the same output file, and a reader must never dlopen a
+    # half-written library.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-ffast-math",
         "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-ljpeg", "-lpthread",
+        "-o", tmp, _SRC, "-ljpeg", "-lpthread",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return proc.stderr
+    os.replace(tmp, _LIB)
     return None
 
 

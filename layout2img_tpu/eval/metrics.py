@@ -145,31 +145,29 @@ def run_inception_batches(
     ``mesh``: optional 1-D device mesh — image chunks are sharded over its
     first axis (variables replicated) so feature extraction data-parallels
     across chips; per-image features make the numbers placement-invariant.
-    Ignored when ``batch_size`` does not divide by the mesh size."""
+    A ``batch_size`` that does not divide the mesh size is padded UP to the
+    next multiple (the pad rows are sliced back off), so sharding never
+    silently falls back to one device."""
     feats, probs = [], []
     jit_apply = _jitted(inception_apply)
     data_sh = None
-    if mesh is not None and batch_size % mesh.devices.size == 0:
+    compiled_bs = batch_size
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        size = mesh.devices.size
+        compiled_bs = -(-batch_size // size) * size  # ceil to a multiple
         data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    elif mesh is not None:
-        import warnings
-
-        warnings.warn(
-            f"batch_size {batch_size} does not divide by the {mesh.devices.size}"
-            f"-device mesh; running single-device ({mesh.devices.size}x slower)",
-            stacklevel=2)
     for chunk in batches:
         chunk = np.asarray(chunk)
-        pad = batch_size - chunk.shape[0]
+        pad = compiled_bs - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
         chunk = jax.device_put(chunk, data_sh) if data_sh is not None else jnp.asarray(chunk)
         f, p = jit_apply(variables, chunk)
-        feats.append(np.asarray(f)[: batch_size - pad])
-        probs.append(np.asarray(p)[: batch_size - pad])
+        feats.append(np.asarray(f)[: compiled_bs - pad])
+        probs.append(np.asarray(p)[: compiled_bs - pad])
     if not feats:
         raise ValueError("no image batches to run inception on")
     return np.concatenate(feats), np.concatenate(probs)

@@ -51,6 +51,18 @@ class TrainConfig:
     # dropping those activations from HBM, unlocking larger per-chip batches
     # (batch 256 at 128px needs 22.4G un-rematted vs 15.75G available).
     remat: str = "none"
+    # D object-path budget (0 = off): before every D apply, stable-sort the
+    # VALID object slots to the front and keep only the first K, so the RoI
+    # crops / object head / app head run on K slots instead of all o. On
+    # padded layouts (VG pads to o=31 with ~6-10 real objects) most of D's
+    # per-object work is on pad slots the masked hinge zero-weights anyway —
+    # the reference never sees pads at all (ragged obj_to_img lists,
+    # rcnn_discriminator_app.py) so this recovers its efficiency with static
+    # shapes. EXACT numerics whenever K >= the batch's max valid count (pad
+    # slots carry zero loss weight and D has no cross-object coupling);
+    # objects beyond K are dropped from the D losses only (G still draws
+    # them). See tests/test_train_step.py::test_d_obj_budget_matches_plain.
+    d_obj_budget: int = 0
 
 
 class GANTrainState(struct.PyTreeNode):

@@ -71,6 +71,19 @@ def make_train_step(
         z_im = jax.random.normal(rng_zim, (b, config.z_dim), compute_dtype)
         valid = (labels != 0).astype(jnp.float32)
 
+        # D object budget: compact the valid slots to the front (stable sort
+        # keeps their order) and give D only the first K — pad slots carry
+        # zero weight in the masked hinges, so this is exact when K covers
+        # every valid object, and it skips the RoI/object/app-head work the
+        # reference (ragged lists) never did either. G still draws all o.
+        d_boxes, d_labels, d_valid = boxes, labels, valid
+        if 0 < config.d_obj_budget < o:
+            order = jnp.argsort((labels == 0).astype(jnp.int32), axis=1,
+                                stable=True)[:, : config.d_obj_budget]
+            d_labels = jnp.take_along_axis(labels, order, axis=1)
+            d_boxes = jnp.take_along_axis(boxes, order[:, :, None], axis=1)
+            d_valid = (d_labels != 0).astype(jnp.float32)
+
         # ---- generator forward (single evaluation, vjp for the G update) ----
         # deterministic=False + dropout rng: training runs with the model's
         # dropout ACTIVE (reference nets train with GCN 0.5 / PSP 0.1
@@ -102,26 +115,26 @@ def make_train_step(
                 out, ds = d_apply(
                     d_p, state.d_state,
                     jnp.concatenate([images, fake_sg]),
-                    jnp.concatenate([boxes, boxes]),
-                    jnp.concatenate([labels, labels]),
+                    jnp.concatenate([d_boxes, d_boxes]),
+                    jnp.concatenate([d_labels, d_labels]),
                 )
                 out_r = {k: v[:b] for k, v in out.items()}
                 out_f = {k: v[b:] for k, v in out.items()}
             else:
-                out_r, ds = d_apply(d_p, state.d_state, images, boxes, labels)
-                out_f, ds = d_apply(d_p, ds, fake_sg, boxes, labels)
+                out_r, ds = d_apply(d_p, state.d_state, images, d_boxes, d_labels)
+                out_f, ds = d_apply(d_p, ds, fake_sg, d_boxes, d_labels)
             metrics = {
                 "d_loss_real": hinge_d_real(out_r["image"]),
                 "d_loss_fake": hinge_d_fake(out_f["image"]),
-                "d_loss_robj": hinge_d_real(out_r["object"], valid),
-                "d_loss_fobj": hinge_d_fake(out_f["object"], valid),
+                "d_loss_robj": hinge_d_real(out_r["object"], d_valid),
+                "d_loss_fobj": hinge_d_fake(out_f["object"], d_valid),
             }
             loss = config.lamb_obj * (
                 metrics["d_loss_robj"] + metrics["d_loss_fobj"]
             ) + config.lamb_img * (metrics["d_loss_real"] + metrics["d_loss_fake"])
             if "app" in out_r:
-                rapp = hinge_d_real(out_r["app"], valid)
-                fapp = hinge_d_fake(out_f["app"], valid)
+                rapp = hinge_d_real(out_r["app"], d_valid)
+                fapp = hinge_d_fake(out_f["app"], d_valid)
                 loss = loss + config.lamb_app * (rapp + fapp)
                 metrics |= {"d_loss_rapp": rapp, "d_loss_fapp": fapp}
             return loss, (ds, metrics)
@@ -136,15 +149,15 @@ def make_train_step(
 
         # ---- G update (uses the freshly-updated D, like the reference) ----
         def g_loss_from_fake(fake_img):
-            out_g, ds = d_apply(cast(d_params), d_state, fake_img, boxes, labels)
+            out_g, ds = d_apply(cast(d_params), d_state, fake_img, d_boxes, d_labels)
             metrics = {
                 "g_loss_fake": g_adv(out_g["image"]),
-                "g_loss_obj": g_adv(out_g["object"], valid),
+                "g_loss_obj": g_adv(out_g["object"], d_valid),
             }
             loss = (config.lamb_obj * metrics["g_loss_obj"]
                     + config.lamb_img * metrics["g_loss_fake"])
             if "app" in out_g:
-                gapp = g_adv(out_g["app"], valid)
+                gapp = g_adv(out_g["app"], d_valid)
                 loss = loss + config.lamb_app * gapp
                 metrics["g_loss_app"] = gapp
             if config.use_pixel_loss:

@@ -37,6 +37,12 @@ def pytest_configure(config):
         "slow: heavyweight test (torch-reference parity, full-size trainers, "
         "multihost); skipped unless --runslow",
     )
+    config.addinivalue_line(
+        "markers",
+        "xdist_group(name): serialize marked tests onto one pytest-xdist "
+        "worker under `-n N --dist loadgroup` (subprocess-spawning tests "
+        "with wall-clock deadlines)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

@@ -261,6 +261,7 @@ def test_run_inception_batches_mesh_matches_single(rng):
     np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
 
-    # non-divisible batch: mesh silently ignored, numbers unchanged
+    # non-divisible batch: padded up to the next multiple of the mesh size
+    # (8 here), still sharded, pad rows sliced back off — numbers unchanged
     f3, _ = run_inception_batches(apply, k, iter([imgs[:5], imgs[5:10]]), 5, mesh=mesh)
     np.testing.assert_allclose(f1, f3, rtol=1e-4, atol=1e-5)

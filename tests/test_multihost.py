@@ -5,13 +5,19 @@ via shard_host_local_batch, one collective Orbax save."""
 
 import pytest
 
-pytestmark = pytest.mark.slow
+# xdist: the two tests here each spawn 2 training subprocesses with hard
+# wall-clock deadlines — grouped so parallel runs (`-n N --dist loadgroup`)
+# never overlap them with each other on the same box.
+pytestmark = [pytest.mark.slow, pytest.mark.xdist_group(name="multihost")]
 import os
 import socket
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# generous: compile-heavy subprocesses time-slice badly on 1-core sandboxes,
+# and under pytest-xdist other workers contend for the same core
+_DEADLINE = 1800
 
 
 def _free_port() -> int:
@@ -44,7 +50,7 @@ def test_two_process_cpu_training(tmp_path):
 
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=_DEADLINE)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
@@ -90,7 +96,7 @@ def test_two_process_sigterm_preemption(tmp_path):
     # wait until training is demonstrably under way (>= 2 logged steps from
     # the rank-0 metric stream), then preempt the NON-zero process
     metrics = tmp_path / "synthetic" / "64" / "lostgan" / "metrics.jsonl"
-    deadline = time.time() + 900
+    deadline = time.time() + _DEADLINE
     while time.time() < deadline:
         if any(p.poll() is not None for p in procs):
             break
@@ -107,7 +113,7 @@ def test_two_process_sigterm_preemption(tmp_path):
 
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=_DEADLINE)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"

@@ -223,6 +223,40 @@ def test_remat_d_blocks_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+def test_d_obj_budget_matches_plain(rng):
+    """d_obj_budget=K compacts the valid object slots to the front and gives
+    D only K of them. When K covers every valid object, the step is the same
+    math as the full-o run (pad slots carry zero weight in the masked hinges
+    and D has no cross-object coupling) — metrics and BOTH nets' updated
+    params must match."""
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng, o=4, app=True, size=128)
+    # widen the object axis to o=8 with pure pad slots (label 0, pad box)
+    from layout2img_tpu.data.synthetic import PAD_BOX
+
+    labels = jnp.concatenate(
+        [batch["labels"], jnp.zeros_like(batch["labels"])], axis=1)
+    boxes = jnp.concatenate(
+        [batch["boxes"],
+         jnp.tile(jnp.asarray(PAD_BOX, jnp.float32), (2, 4, 1))], axis=1)
+    wide = {"images": batch["images"], "labels": labels, "boxes": boxes}
+
+    cfg_b = TrainConfig(use_vgg_loss=False, d_obj_budget=4)
+    step_b = jax.jit(make_train_step(gen, disc, cfg_b))
+    # same init state works: the budget only reindexes D inputs
+    ref_state, ref_metrics = jax.jit(step)(state, wide, jax.random.PRNGKey(1))
+    new_state, metrics = step_b(state, wide, jax.random.PRNGKey(1))
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k)
+    for params_ref, params_new in ((ref_state.d_params, new_state.d_params),
+                                   (ref_state.g_params, new_state.g_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                        jax.tree_util.tree_leaves(params_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
 @pytest.mark.slow
 def test_ema_updates_and_roundtrips(rng, tmp_path):
     """EMA params track g_params without changing the training math, and
