@@ -36,11 +36,28 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save_every_epochs", type=int, default=5)
     p.add_argument("--async_ckpt", action="store_true",
-                   help="non-blocking checkpointing: snapshot the state "
-                        "on-device (one jit dispatch) and run the D2H "
-                        "transfer + Orbax write in a background thread "
-                        "while training continues (single-process only)")
+                   help="non-blocking checkpointing. Single-process: snapshot "
+                        "the state on-device (one jit dispatch) and run the "
+                        "D2H transfer + Orbax write in a background thread. "
+                        "Multi-host: every host starts the save in step-"
+                        "lockstep, Orbax finalizes in background threads with "
+                        "coordination-service barriers")
     p.add_argument("--log_every", type=int, default=500)
+    p.add_argument("--no_nan_guard", dest="nan_guard", action="store_false",
+                   default=True,
+                   help="disable the divergence guard: by default the step "
+                        "metrics are checked for "
+                        "non-finite values at the --log_every cadence; on "
+                        "detection, keep the last good checkpoint (skip all "
+                        "further saves) and exit with code 3. The reference "
+                        "has no failure detection (SURVEY.md 5.3) — a "
+                        "diverged run keeps training and overwrites its "
+                        "checkpoints with NaN state")
+    p.add_argument("--fault_inject_nan_at", type=int, default=0,
+                   help="fault injection for drills/tests: poison the "
+                        "fetched metrics with NaN from this step on, "
+                        "exercising the --nan_guard path end-to-end "
+                        "(0 = off)")
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror metrics/image grids into tensorboardX event "
                         "files under <out_dir>/tb (the reference's logging "
@@ -241,7 +258,9 @@ def main(argv=None):
         logger.info("fine-tuning from torch checkpoints: G=%s D=%s",
                     args.torch_ckpt_g or "-", args.torch_ckpt_d or "-")
 
-    ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
+    ckpt = CheckpointManager(
+        os.path.join(out_dir, "ckpt"),
+        async_save=args.async_ckpt and jax.process_count() > 1)
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         logger.info("resumed from step %d", int(state.step))
@@ -257,8 +276,13 @@ def main(argv=None):
         save_ckpt = lambda st: ckpt.save(jax.device_get(st))
     else:
         if args.async_ckpt:
-            logger.warning("--async_ckpt ignored: multi-host Orbax saves are "
-                           "collective and must stay on the main thread")
+            # Saves still START in step-lockstep on every host (epoch cadence
+            # or the OR-reduced preemption stop); only the filesystem write +
+            # finalization barrier run in background, over the coordination
+            # service rather than XLA collectives (train/checkpoint.py).
+            logger.info("multi-host async checkpointing: Orbax finalizes "
+                        "writes in background; cross-host barriers ride the "
+                        "coordination service, not XLA collectives")
         save_ckpt = ckpt.save
 
     if n_proc > 1:
@@ -386,7 +410,7 @@ def main(argv=None):
         def should_stop(step: int) -> bool:
             return preempted["flag"]
 
-    stop = False
+    stop = diverged = False
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -407,12 +431,26 @@ def main(argv=None):
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s", args.profile_dir)
-            if global_step % args.log_every == 0 and is_primary:
+            if global_step % args.log_every == 0 and (is_primary or args.nan_guard):
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                logger.info("epoch %d step %d: %s", epoch + 1, global_step,
-                            {k: round(v, 4) for k, v in m.items()})
-                writer.write(global_step, m)
-                if n_proc == 1:
+                if args.fault_inject_nan_at and global_step >= args.fault_inject_nan_at:
+                    m["d_loss"] = float("nan")  # --fault_inject_nan_at drill
+                # Divergence guard: the metrics are replicated (identical on
+                # every host), so all processes take this branch at the same
+                # step — consistent multi-host exit, no divergent collectives.
+                if args.nan_guard and not all(np.isfinite(v) for v in m.values()):
+                    diverged = stop = True
+                    logger.error(
+                        "non-finite metrics at step %d: %s — divergence; "
+                        "keeping the last good checkpoint (skipping further "
+                        "saves) and exiting 3", global_step,
+                        {k: v for k, v in m.items() if not np.isfinite(v)})
+                    break
+                if is_primary:
+                    logger.info("epoch %d step %d: %s", epoch + 1, global_step,
+                                {k: round(v, 4) for k, v in m.items()})
+                    writer.write(global_step, m)
+                if is_primary and n_proc == 1:
                     # sample grid (reference logs real/fake grids every 500
                     # steps); multi-host runs log metrics only — the batch is
                     # sharded over non-addressable devices
@@ -435,20 +473,24 @@ def main(argv=None):
                 stop = True
                 break
         if stop:
-            logger.info(
-                "SIGTERM%s: saving checkpoint at step %d and exiting",
-                f" (synchronized across {n_proc} processes)" if n_proc > 1 else "",
-                global_step)
+            if not diverged:
+                logger.info(
+                    "SIGTERM%s: saving checkpoint at step %d and exiting",
+                    f" (synchronized across {n_proc} processes)" if n_proc > 1 else "",
+                    global_step)
             break
         if (epoch + 1) % args.save_every_epochs == 0:
             save_ckpt(state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
-    save_ckpt(state)
+    if not diverged:
+        save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     if prev_handler is not None:
         # None = a non-Python handler we cannot reinstall — leave ours then
         signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
+    if diverged:
+        raise SystemExit(3)
     logger.info("done: %d steps", global_step)
 
 
@@ -542,6 +584,7 @@ def main_special(args):
         signal.SIGTERM, lambda signum, frame: preempted.update(flag=True))
 
     rng = jax.random.PRNGKey(args.seed + 1)
+    diverged = False
     global_step = int(jax.device_get(state.step))
     for epoch in range(args.total_epoch):
         for batch in loader:
@@ -551,23 +594,38 @@ def main_special(args):
             global_step += 1
             if global_step % args.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                if args.fault_inject_nan_at and global_step >= args.fault_inject_nan_at:
+                    m["d_loss"] = float("nan")  # --fault_inject_nan_at drill
+                if args.nan_guard and not all(np.isfinite(v) for v in m.values()):
+                    diverged = True
+                    logger.error(
+                        "non-finite metrics at step %d: %s — divergence; "
+                        "keeping the last good checkpoint (skipping further "
+                        "saves) and exiting 3", global_step,
+                        {k: v for k, v in m.items() if not np.isfinite(v)})
+                    break
                 logger.info("epoch %d step %d: %s", epoch + 1, global_step,
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
                 writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
             if preempted["flag"]:
                 break
+        if diverged:
+            break
         if preempted["flag"]:
             logger.info("SIGTERM: saving checkpoint at step %d and exiting",
                         global_step)
             break
         if (epoch + 1) % args.save_every_epochs == 0:
             save_ckpt(state)
-    save_ckpt(state)
+    if not diverged:
+        save_ckpt(state)
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     writer.close()
+    if diverged:
+        raise SystemExit(3)
     logger.info("done: %d steps", global_step)
 
 

@@ -32,21 +32,48 @@ def _as_pytree(state: GANTrainState) -> dict:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 5):
+    def __init__(self, directory: str, keep: int = 5, async_save: bool = False):
+        """``async_save=True``: ``save()`` returns once the state has been
+        serialized off-device (donation-safe — the next jitted step may reuse
+        the buffers) and Orbax finalizes the write in its own background
+        thread; call :meth:`wait` to drain. Multi-host-safe: the background
+        finalization barrier is routed over the ``jax.distributed``
+        coordination service (``client.wait_at_barrier``, documented safe
+        from independent threads) instead of Orbax's default
+        ``sync_global_devices`` XLA collective, so it cannot interleave with
+        the training collectives the main thread keeps dispatching — the
+        deadlock that forced the r3 single-process restriction.
+        """
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._async_save = async_save
+        async_options = None
+        if async_save:
+            from orbax.checkpoint import multihost
+
+            if multihost.is_jax_distributed_client_initialized():
+                async_options = ocp.options.AsyncOptions(
+                    barrier_sync_fn=multihost.get_barrier_sync_fn())
         self._mgr = ocp.CheckpointManager(
             self.directory,
             # the handler hint lets a FRESH manager read item_metadata() of
             # existing checkpoints (otherwise it returns None before the
             # first save/restore) — restore() relies on it for EMA detection
             item_handlers=ocp.StandardCheckpointHandler(),
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, async_options=async_options),
         )
 
     def save(self, state: GANTrainState, step: int | None = None) -> None:
         step = int(state.step) if step is None else step
+        # Orbax's save() blocks until any PREVIOUS save finished, so at most
+        # one write is in flight.
         self._mgr.save(step, args=ocp.args.StandardSave(_as_pytree(state)))
+        if not self._async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has been finalized."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
@@ -98,8 +125,11 @@ class AsyncSaver:
     the remote-TPU transport, where per-leaf eager copies would cost ~1 s
     each); the expensive parts — device-to-host transfer of the full state
     and the Orbax write — then run in a background thread against the
-    snapshot while training proceeds. Single-process only: multi-host Orbax
-    saves are collective and must stay on the main thread in step-lockstep.
+    snapshot while training proceeds. Single-process only (``device_get`` of
+    a multi-host global array is undefined); multi-host async saves use
+    ``CheckpointManager(async_save=True)`` instead, which keeps the D2H
+    serialization on the main thread in step-lockstep and backgrounds only
+    the write + coordination-service barrier.
     """
 
     def __init__(self, mgr: CheckpointManager):

@@ -13,6 +13,21 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compilation cache (opt out with JAX_TEST_COMPILE_CACHE=0):
+# the slow tier spends much of its 2.5h+ single-core wall-clock recompiling
+# the same tiny-config train steps run after run; with the cache, repeat
+# runs deserialize instead (only compiles >1s are cached — jax's default
+# min_compile_time — which is exactly the expensive ones). Keyed on the HLO
+# hash, so code changes invalidate automatically. Set via env BEFORE jax
+# imports so the multihost/preemption subprocess tests inherit it too.
+# Benign noise: XLA:CPU's AOT loader logs a feature-string mismatch warning
+# per cached load (a known string-compare quirk; compile host == run host).
+if os.environ.get("JAX_TEST_COMPILE_CACHE", "1") != "0":
+    _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".cache", "jax")
+    os.makedirs(_cache, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+
 import jax
 
 # The sandbox's axon TPU plugin ignores JAX_PLATFORMS; force cpu explicitly

@@ -26,7 +26,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cpu_training(tmp_path):
+@pytest.mark.parametrize("async_ckpt", [False, True],
+                         ids=["sync_ckpt", "async_ckpt"])
+def test_two_process_cpu_training(tmp_path, async_ckpt):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -42,7 +44,7 @@ def test_two_process_cpu_training(tmp_path):
             "--total_epoch", "1", "--steps_per_epoch", "2", "--batch_size", "2",
             "--img_size", "64", "--ch", "4", "--no_vgg", "--log_every", "10",
             "--out_path", str(tmp_path),
-        ]
+        ] + (["--async_ckpt"] if async_ckpt else [])
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -57,9 +59,15 @@ def test_two_process_cpu_training(tmp_path):
 
     assert "process 0/2: 2 local / 4 global devices" in outs[0]
     assert "done: 2 steps" in outs[0]
-    # collective checkpoint landed
+    if async_ckpt:
+        assert "multi-host async checkpointing" in outs[0]
+    # collective checkpoint landed AND was finalized (an unfinalized async
+    # save leaves only a tmp dir without the metadata file)
     ckpt_dir = tmp_path / "synthetic" / "64" / "lostgan" / "ckpt"
-    assert ckpt_dir.exists() and os.listdir(ckpt_dir)
+    assert ckpt_dir.exists()
+    finalized = [d for d in os.listdir(ckpt_dir)
+                 if (ckpt_dir / d / "_CHECKPOINT_METADATA").exists()]
+    assert finalized, f"no finalized checkpoint in {os.listdir(ckpt_dir)}"
 
 
 def test_two_process_sigterm_preemption(tmp_path):

@@ -69,3 +69,32 @@ def test_sigterm_saves_checkpoint_and_exits_zero(tmp_path):
     with open(metrics) as f:
         logged = [json.loads(ln)["step"] for ln in f]
     assert max(int(s) for s in saved) <= max(logged) + 1
+
+
+@pytest.mark.slow
+def test_nan_guard_preserves_last_good_checkpoint(tmp_path):
+    """Divergence guard (--nan_guard, default on): when the step metrics go
+    non-finite, the trainer must NOT overwrite its checkpoint rotation with
+    the diverged state — it keeps the last good save and exits 3. Driven
+    end-to-end via --fault_inject_nan_at (metrics poisoned from step 5; the
+    epoch-1 save at step 3 is the last good checkpoint). The reference has
+    no failure detection at all (SURVEY.md section 5.3)."""
+    out = str(tmp_path)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CPU_SHIM,
+         "--model", "ours_d", "--dataset", "synthetic",
+         "--total_epoch", "10", "--steps_per_epoch", "3",
+         "--batch_size", "2", "--img_size", "64", "--ch", "4", "--no_vgg",
+         "--log_every", "1", "--save_every_epochs", "1",
+         "--fault_inject_nan_at", "5",
+         "--out_path", out],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out_text, _ = proc.communicate(timeout=900)
+    assert proc.returncode == 3, out_text
+    assert "non-finite metrics at step 5" in out_text, out_text
+
+    ckpt_dir = os.path.join(out, "synthetic", "64", "ours_d", "ckpt")
+    saved = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    # the epoch-1 save (step 3) survives; nothing at or after the fault step
+    assert saved == [3], out_text

@@ -467,3 +467,33 @@ def test_async_saver_survives_donation(rng, tmp_path):
                         jax.tree_util.tree_leaves(state.g_params)))
     assert moved > 0
     ckpt.close()
+
+
+@pytest.mark.slow
+def test_checkpoint_manager_async_save_survives_donation(rng, tmp_path):
+    """CheckpointManager(async_save=True) — the multi-host async mode — must
+    serialize off-device inside save() (Orbax contract), so training may
+    donate the state buffers immediately after save() returns and the
+    finalized checkpoint still equals the state at save time."""
+    from layout2img_tpu.train.checkpoint import CheckpointManager
+
+    gen, disc, batch, cfg, state, step = _tiny_setup(rng)
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    state, _ = jstep(state, batch, jax.random.PRNGKey(0))
+    want = jax.device_get(state.g_params)
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    ckpt.save(state)
+    for i in range(2):
+        state, _ = jstep(state, batch, jax.random.PRNGKey(1 + i))
+    ckpt.wait()
+
+    template = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, batch, TrainConfig(use_vgg_loss=False))
+    restored = CheckpointManager(str(tmp_path / "ckpt")).restore(template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
