@@ -85,8 +85,15 @@ def main():
     fused_d = os.environ.get("BENCH_FUSED_D", "0") == "1"
     remat = os.environ.get("BENCH_REMAT", "none")
     d_obj_budget = int(os.environ.get("BENCH_D_OBJ_BUDGET", "0"))
+    g_obj_budget = int(os.environ.get("BENCH_G_OBJ_BUDGET", "0"))
+    if g_obj_budget:
+        from layout2img_tpu.models.generators import obj_budget_error
+
+        why = obj_budget_error(gen)
+        if why is not None:
+            raise SystemExit(f"BENCH_G_OBJ_BUDGET is not exact for {preset}: {why}")
     cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d, remat=remat,
-                      d_obj_budget=d_obj_budget)
+                      d_obj_budget=d_obj_budget, g_obj_budget=g_obj_budget)
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))

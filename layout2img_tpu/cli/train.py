@@ -91,6 +91,13 @@ def parse_args(argv=None):
                         "objects per image in the data; on padded VG layouts "
                         "(o=31, ~6-10 real) this skips the pad-slot RoI/"
                         "object-head work the reference never did either")
+    p.add_argument("--g_obj_budget", type=int, default=0,
+                   help="run the GENERATOR (and D) on only the first K "
+                        "valid-compacted object slots (0 = all). Exact when "
+                        "K >= the max objects per image; v2-mask-trunk + "
+                        "corrected-attention models only. Unlike "
+                        "--d_obj_budget, overflow objects are dropped from "
+                        "the generated image, not just from D's view")
     p.add_argument("--l2i_fusion", default="transformer",
                    choices=["transformer", "convlstm", "transformer_decoder",
                             "transformer_noctx"],
@@ -225,11 +232,19 @@ def main(argv=None):
                               image_size=args.img_size,
                               remat_blocks=args.remat_d_blocks)
 
+    if args.g_obj_budget:
+        from layout2img_tpu.models.generators import obj_budget_error
+
+        why = obj_budget_error(gen)
+        if why is not None:
+            raise SystemExit(f"--g_obj_budget is not exact for this model: {why}")
+
     loader = build_dataset(args, num_objects)
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
                       mixed_precision=args.mixed_precision,
                       ema_decay=args.ema_decay, fused_d=args.fused_d,
-                      remat=args.remat, d_obj_budget=args.d_obj_budget)
+                      remat=args.remat, d_obj_budget=args.d_obj_budget,
+                      g_obj_budget=args.g_obj_budget)
     vgg = None
     if cfg.use_vgg_loss:
         params = load_torch_vgg19_features(args.vgg_weights) if args.vgg_weights else None

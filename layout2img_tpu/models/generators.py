@@ -278,6 +278,23 @@ _GENERATOR_PRESETS: dict[str, dict[str, Any]] = {
 }
 
 
+def obj_budget_error(gen: LostGANGenerator) -> str | None:
+    """Why a G object budget would NOT be exact for this generator.
+
+    Returns None when compacting the object axis is exact (pad slots
+    contribute exactly zero to the image): requires the v2 mask trunk
+    (the v1 trunk's BatchNorm couples slots through its (b*o) batch
+    statistics) and the corrected attention concat (the legacy scramble
+    mixes the slot/channel layout)."""
+    if getattr(gen, "mask_trunk", "") != "v2":
+        return ("the v1 mask trunk couples object slots through its (b*o) "
+                "BatchNorm statistics — compaction would change the image")
+    if getattr(gen, "legacy_attention", False):
+        return ("legacy_attention's concat scramble mixes the slot/channel "
+                "layout — compaction would change the image")
+    return None
+
+
 def make_generator(preset: str, num_classes: int, **overrides) -> LostGANGenerator:
     cfg = dict(_GENERATOR_PRESETS[preset])
     cfg.update(overrides)

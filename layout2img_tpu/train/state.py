@@ -63,6 +63,21 @@ class TrainConfig:
     # objects beyond K are dropped from the D losses only (G still draws
     # them). See tests/test_train_step.py::test_d_obj_budget_matches_plain.
     d_obj_budget: int = 0
+    # Generator object-path budget (0 = off): same compaction applied BEFORE
+    # the G forward, so attention / mask-regress / the per-object ISLA
+    # modulation (the (b, o, h, w) resized mask is the step's biggest
+    # intermediate) run on K slots instead of o. Pad slots contribute
+    # EXACTLY zero to the image (pad boxes splat off-canvas, pad attention
+    # keys are masked, ISLA mask-weighted sums ignore zero masks), so this
+    # is exact when K >= the batch's max valid count — but ONLY for
+    # v2-mask-trunk generators with the corrected attention concat: the v1
+    # trunk's BatchNorm couples slots through its (b*o) statistics, and
+    # legacy_attention's scramble mixes slot/channel layout. D sees the
+    # same compacted slots (d_obj_budget may truncate further). Unlike
+    # d_obj_budget, overflow objects beyond K are dropped from the IMAGE,
+    # not just from D's view — pick K at the dataset's object-count tail.
+    # See tests/test_train_step.py::test_g_obj_budget_matches_plain.
+    g_obj_budget: int = 0
 
 
 class GANTrainState(struct.PyTreeNode):

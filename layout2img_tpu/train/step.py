@@ -69,6 +69,21 @@ def make_train_step(
         rng_z, rng_zim, rng_drop = jax.random.split(rng, 3)
         z = jax.random.normal(rng_z, (b, o, config.z_dim), compute_dtype)
         z_im = jax.random.normal(rng_zim, (b, config.z_dim), compute_dtype)
+
+        # G object budget: compact valid slots to the front and run the whole
+        # step (G forward AND D) on the first K — exact when K covers every
+        # valid object since pad slots contribute exactly zero to the image
+        # (see TrainConfig.g_obj_budget for the eligibility caveats: v2 mask
+        # trunk + corrected attention only). z is drawn at full width first
+        # so the per-slot draws match the unbudgeted step bit-for-bit.
+        if 0 < config.g_obj_budget < o:
+            g_order = jnp.argsort((labels == 0).astype(jnp.int32), axis=1,
+                                  stable=True)[:, : config.g_obj_budget]
+            labels = jnp.take_along_axis(labels, g_order, axis=1)
+            boxes = jnp.take_along_axis(boxes, g_order[:, :, None], axis=1)
+            z = jnp.take_along_axis(z, g_order[:, :, None], axis=1)
+            o = config.g_obj_budget
+
         valid = (labels != 0).astype(jnp.float32)
 
         # D object budget: compact the valid slots to the front (stable sort
@@ -205,13 +220,19 @@ def make_train_step(
 
 
 def make_sample_fn(generator, config: TrainConfig, truncation: float = 2.0,
-                   dtype=jnp.float32) -> Callable:
+                   dtype=jnp.float32, obj_budget: int = 0) -> Callable:
     """Inference sampler: truncated-normal z (reference ``utils/util.py:39-45``
     rejection loop -> ``jax.random.truncated_normal``), eval-mode BN.
 
     dtype=jnp.bfloat16 (with bf16-cast params) is the serving-precision
     variant (~+10% on Ours-D VG at b8); boxes stay f32 for coordinate
-    precision either way."""
+    precision either way.
+
+    obj_budget > 0 compacts the valid object slots to the front and runs G
+    on the first K only — identical images when K covers every valid object
+    (v2 mask trunk + corrected attention only; see TrainConfig.g_obj_budget).
+    z keeps its full-width per-slot draws, so a layout renders the same
+    image with or without the budget."""
 
     def sample(g_params, g_state, boxes, labels, rng):
         b, o = labels.shape
@@ -222,6 +243,12 @@ def make_sample_fn(generator, config: TrainConfig, truncation: float = 2.0,
         z_im = jax.random.truncated_normal(
             rng_zim, -truncation, truncation, (b, config.z_dim), dtype
         )
+        if 0 < obj_budget < o:
+            order = jnp.argsort((labels == 0).astype(jnp.int32), axis=1,
+                                stable=True)[:, :obj_budget]
+            labels = jnp.take_along_axis(labels, order, axis=1)
+            boxes = jnp.take_along_axis(boxes, order[:, :, None], axis=1)
+            z = jnp.take_along_axis(z, order[:, :, None], axis=1)
         return generator.apply(
             {"params": g_params, **g_state},
             z, boxes, labels, z_im,

@@ -257,6 +257,76 @@ def test_d_obj_budget_matches_plain(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+def test_g_obj_budget_matches_plain(rng):
+    """g_obj_budget=K compacts the valid slots and runs the WHOLE step (G
+    forward included) on K of them. Pad slots contribute exactly zero to the
+    generated image (off-canvas pad boxes splat to zero masks, pad attention
+    keys are -1e9-masked, ISLA mask-weighted sums ignore zero masks), so with
+    K covering every valid object the step is the same math — metrics and
+    both nets' updated params must match the full-width run. Also stacks a
+    further d_obj_budget truncation on top (D sees 3 of G's 4 slots; the
+    4th is pure pad, so that is exact too)."""
+    from layout2img_tpu.data.synthetic import PAD_BOX, synthetic_batch
+
+    num_classes = 10
+    gen = make_generator("ours_d_context128", num_classes, ch=4,
+                         num_mask_classes=num_classes)
+    disc = LayoutDiscriminator(num_classes=num_classes, image_size=128, ch=4,
+                               app_head=True)
+    batch = synthetic_batch(rng, 2, 128, 4, num_classes)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    # 3 valid slots + 5 pads: slot 3 padded, then widen 4 -> 8 with pure pads
+    labels = batch["labels"].at[:, 3].set(0)
+    boxes = batch["boxes"].at[:, 3].set(jnp.asarray(PAD_BOX, jnp.float32))
+    labels = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=1)
+    boxes = jnp.concatenate(
+        [boxes, jnp.tile(jnp.asarray(PAD_BOX, jnp.float32), (2, 4, 1))], axis=1)
+    wide = {"images": batch["images"], "labels": labels, "boxes": boxes}
+
+    cfg = TrainConfig(use_vgg_loss=False)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, wide, cfg)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+    cfg_b = TrainConfig(use_vgg_loss=False, g_obj_budget=4, d_obj_budget=3)
+    step_b = jax.jit(make_train_step(gen, disc, cfg_b))
+
+    ref_state, ref_metrics = step(state, wide, jax.random.PRNGKey(1))
+    new_state, metrics = step_b(state, wide, jax.random.PRNGKey(1))
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k)
+    for params_ref, params_new in ((ref_state.d_params, new_state.d_params),
+                                   (ref_state.g_params, new_state.g_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                        jax.tree_util.tree_leaves(params_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+    # serving path: the budgeted sampler renders the same images
+    sample = jax.jit(make_sample_fn(gen, cfg))
+    sample_b = jax.jit(make_sample_fn(gen, cfg, obj_budget=4))
+    img_ref = sample(state.g_params, state.g_state, boxes, labels,
+                     jax.random.PRNGKey(2))
+    img_new = sample_b(state.g_params, state.g_state, boxes, labels,
+                       jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(img_new), np.asarray(img_ref),
+                               atol=1e-5)
+
+
+def test_obj_budget_eligibility():
+    """The exactness guard: v1-trunk and legacy-attention generators are
+    rejected (BN couples slots / the scramble mixes layout), the flagship
+    is eligible."""
+    from layout2img_tpu.models.generators import obj_budget_error
+
+    assert obj_budget_error(make_generator("ours_d_context128", 10)) is None
+    assert obj_budget_error(make_generator("graph128", 10)) is not None
+    assert obj_budget_error(
+        make_generator("ours_d_context128", 10, legacy_attention=True)
+    ) is not None
+    assert obj_budget_error(make_generator("lostgan64", 10)) is not None
+
+
 @pytest.mark.slow
 def test_ema_updates_and_roundtrips(rng, tmp_path):
     """EMA params track g_params without changing the training math, and
