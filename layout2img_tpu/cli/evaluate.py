@@ -1,13 +1,14 @@
 """Evaluation CLI — covers the reference's ``IS.py`` (Inception Score over
-samples; 3-split protocol) and adds FID (external to the reference) plus
-LPIPS diversity (``test_lpips.py``), all on-device.
+samples; 3-split protocol) and adds FID (external to the reference), KID
+(unbiased MMD — meaningful at the small sample counts the reference's eval
+scripts produce), plus LPIPS diversity (``test_lpips.py``), all on-device.
 
 Input modes mirror the reference driver (``IS.py:40-79``): exactly one of
   --dir DIR          flat image directory
   --npy FILE         .npy array of images
   --dir_list FILE    text file, one image directory per line (IS per dir)
   --superdir DIR     scans DIR/result*/images subdirs (IS per subdir)
-FID/LPIPS compare --dir (or --npy) against --ref_dir.
+FID/KID/LPIPS compare --dir (or --npy) against --ref_dir.
 
 Images are decoded in batches (bounded host RAM, arbitrarily large dirs).
 
@@ -15,6 +16,7 @@ Examples:
   python -m layout2img_tpu.cli.evaluate is --dir samples/
   python -m layout2img_tpu.cli.evaluate is --superdir results/
   python -m layout2img_tpu.cli.evaluate fid --dir samples/ --ref_dir real128/
+  python -m layout2img_tpu.cli.evaluate kid --dir samples/ --ref_dir real128/
   python -m layout2img_tpu.cli.evaluate lpips --dir samples/ --ref_dir real128/
 
 FID reference stats can be precomputed once and reused (pytorch-fid .npz
@@ -131,7 +133,9 @@ def resolve_sources(args) -> list[tuple[str, Iterator[np.ndarray]]]:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["is", "fid", "lpips"])
+    p.add_argument("mode", choices=["is", "fid", "kid", "lpips"])
+    p.add_argument("--kid_subset_size", type=int, default=1000)
+    p.add_argument("--kid_subsets", type=int, default=100)
     p.add_argument("--dir", default="")
     p.add_argument("--npy", default="", help=".npy image array input")
     p.add_argument("--npy_range", default="auto", choices=["auto", "unit", "pm1", "255"],
@@ -166,7 +170,7 @@ def main(argv=None):
     limit = args.limit or None
     sources = resolve_sources(args)
 
-    if args.mode in ("is", "fid"):
+    if args.mode in ("is", "fid", "kid"):
         from layout2img_tpu.eval.inception import (
             InceptionV3,
             load_torch_inception_v3,
@@ -206,6 +210,28 @@ def main(argv=None):
                     apply, variables, batches, args.batch_size, mesh=mesh)
                 mean, std = inception_score(probs, args.splits)
                 print(f"{name}: IS: {mean:.4f} +/- {std:.4f}  (n={len(probs)}, splits={args.splits})")
+        elif args.mode == "kid":
+            from layout2img_tpu.eval.metrics import kid_from_features
+
+            if len(sources) != 1:
+                raise SystemExit("kid takes a single input source")
+            if not args.ref_dir:
+                raise SystemExit("kid requires --ref_dir (raw features are "
+                                 "needed; FID-style mu/sigma stats do not "
+                                 "determine the MMD)")
+            feats, _ = run_inception_batches(
+                apply, variables, sources[0][1], args.batch_size, mesh=mesh)
+            ref_batches = iter_file_batches(
+                list_images(args.ref_dir, limit), args.batch_size, args.resize
+            )
+            ref_feats, _ = run_inception_batches(
+                apply, variables, ref_batches, args.batch_size, mesh=mesh)
+            mean, std = kid_from_features(
+                feats, ref_feats, args.kid_subset_size, args.kid_subsets)
+            print(f"KID: {mean * 1000:.4f} +/- {std * 1000:.4f} (x10^-3)  "
+                  f"(n={len(feats)} vs {len(ref_feats)}, "
+                  f"subset={min(args.kid_subset_size, len(feats), len(ref_feats))}"
+                  f"x{args.kid_subsets})")
         else:
             from layout2img_tpu.eval.metrics import (
                 feature_stats,

@@ -99,24 +99,45 @@ def main():
 
     bench("Ours-ED 64px infer b8 ", ed_sample, (), b)
 
-    # config 2: Ours-D context 128px, VG (179 classes, 31 objects)
+    # config 2: Ours-D context 128px, VG (179 classes, 31 objects).
+    # BENCH_VALID_MAX=N pads all but the first N slots (real VG layouts carry
+    # ~6-10 objects in 31 slots); BENCH_OBJ_BUDGET=K additionally serves only
+    # the first K compacted slots (exact images when K >= N — the
+    # cli.sample --obj_budget path).
     b2, o2 = 8, 31
+    valid_max = int(os.environ.get("BENCH_VALID_MAX", "0"))
+    obj_budget = int(os.environ.get("BENCH_OBJ_BUDGET", "0"))
     gen2 = make_generator("ours_d_context128", 179)
-    boxes2 = jnp.asarray((rng_np.random((b2, o2, 4)) * 0.4 + 0.1).astype(np.float32))
-    labels2 = jnp.asarray(rng_np.integers(1, 179, (b2, o2)).astype(np.int32))
+    boxes2_np = (rng_np.random((b2, o2, 4)) * 0.4 + 0.1).astype(np.float32)
+    labels2_np = rng_np.integers(1, 179, (b2, o2)).astype(np.int32)
+    if valid_max:
+        from layout2img_tpu.data.synthetic import PAD_BOX
+
+        labels2_np[:, valid_max:] = 0
+        boxes2_np[:, valid_max:] = np.asarray(PAD_BOX, np.float32)
+    boxes2 = jnp.asarray(boxes2_np)
+    labels2 = jnp.asarray(labels2_np)
     variables2 = jax.jit(gen2.init)(
         jax.random.PRNGKey(0), jnp.zeros((b2, o2, 128)), boxes2, labels2, jnp.zeros((b2, 128))
     )
 
     variables2 = maybe_cast(variables2)
 
+    # valid slots sit at the front already, so the budget is a static slice
+    # (what the argsort compaction in make_sample_fn constant-folds to here)
+    k2 = obj_budget if 0 < obj_budget < o2 else o2
+    boxes2_k, labels2_k = boxes2[:, :k2], labels2[:, :k2]
+
     def d_sample(rng):
         r = jax.random.split(rng)
-        z = jax.random.truncated_normal(r[0], -2, 2, (b2, o2, 128), zdt)
+        # full-width draw then slice, mirroring make_sample_fn's z parity
+        z = jax.random.truncated_normal(r[0], -2, 2, (b2, o2, 128), zdt)[:, :k2]
         zi = jax.random.truncated_normal(r[1], -2, 2, (b2, 128), zdt)
-        return gen2.apply(variables2, z, boxes2, labels2, zi, train=False, update_stats=False)
+        return gen2.apply(variables2, z, boxes2_k, labels2_k, zi,
+                          train=False, update_stats=False)
 
-    bench("Ours-D 128px VG infer b8", d_sample, (), b2)
+    tag = f" (valid {valid_max or o2}, budget {k2})" if (valid_max or obj_budget) else ""
+    bench(f"Ours-D 128px VG infer b8{tag}", d_sample, (), b2)
 
 
 if __name__ == "__main__":

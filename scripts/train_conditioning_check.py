@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    help="track relative FID (fixed-seed random inception)")
     p.add_argument("--image_out", default="docs/images/conditioning_target_vs_generated.png")
     p.add_argument("--min_score", type=float, default=0.5)
+    p.add_argument("--g_obj_budget", type=int, default=0,
+                   help="compact-and-truncate the object axis for G+D "
+                        "(exact when >= valid count; v2-trunk presets only)")
+    p.add_argument("--d_obj_budget", type=int, default=0,
+                   help="D-only object budget (any preset)")
     p.add_argument("--remat_d_blocks", type=int, default=0,
                    help="checkpoint the first N D ResBlocks (needed to fit "
                         "256px runs at useful batch sizes)")
@@ -283,7 +288,14 @@ def build_family(a):
     disc = LayoutDiscriminator(num_classes=a.num_classes, image_size=a.img_size,
                                ch=a.ch, app_head=not a.no_app_head,
                                remat_blocks=a.remat_d_blocks)
-    cfg = TrainConfig(use_vgg_loss=False, mixed_precision=True)
+    if a.g_obj_budget:
+        from layout2img_tpu.models.generators import obj_budget_error
+
+        why = obj_budget_error(gen)
+        if why is not None:
+            raise SystemExit(f"--g_obj_budget is not exact for this preset: {why}")
+    cfg = TrainConfig(use_vgg_loss=False, mixed_precision=True,
+                      g_obj_budget=a.g_obj_budget, d_obj_budget=a.d_obj_budget)
     batch_fn = lambda rng: make_batch(rng, a, palette)
     example = batch_fn(np.random.default_rng(99))
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, example, cfg)

@@ -238,6 +238,76 @@ def test_evaluate_fid_stats_cli(tmp_path, rng):
         ev.main(["fid", "--dir", str(d)] + common)
 
 
+def test_kid_matches_naive_rederivation(rng):
+    """kid_from_features against a per-pair double-loop rederivation of the
+    unbiased polynomial-kernel MMD^2 on one full-set subset."""
+    from layout2img_tpu.eval.metrics import kid_from_features
+
+    m, d = 6, 5
+    x = rng.normal(size=(m, d))
+    y = rng.normal(size=(m, d)) + 0.5
+
+    def k(a, b):
+        return (float(a @ b) / d + 1.0) ** 3
+
+    mmd = 0.0
+    for i in range(m):
+        for j in range(m):
+            if i != j:
+                mmd += (k(x[i], x[j]) + k(y[i], y[j])) / (m * (m - 1))
+            mmd -= 2.0 * k(x[i], y[j]) / (m * m)
+    # subset_size >= m and 1 subset => the estimator sees the full sets
+    got, std = kid_from_features(x, y, subset_size=m, num_subsets=1)
+    np.testing.assert_allclose(got, mmd, rtol=1e-10)
+    assert std == 0.0
+
+
+def test_kid_properties(rng):
+    """Same distribution ~0 (unbiased, can go slightly negative); a mean
+    shift is clearly positive; degenerate inputs rejected."""
+    from layout2img_tpu.eval.metrics import kid_from_features
+
+    a = rng.normal(size=(300, 16))
+    b = rng.normal(size=(300, 16))
+    same, _ = kid_from_features(a, b, subset_size=100, num_subsets=20)
+    shifted, _ = kid_from_features(a, b + 1.0, subset_size=100, num_subsets=20)
+    assert abs(same) < 0.05
+    assert shifted > 10 * abs(same)
+
+    with pytest.raises(ValueError):
+        kid_from_features(a, rng.normal(size=(300, 8)))
+    with pytest.raises(ValueError):
+        kid_from_features(a[:1], b[:1])
+
+
+def test_evaluate_kid_cli(tmp_path, rng):
+    """kid through the real CLI (random-filter inception on tiny images):
+    a directory against itself is ~0, and --ref_dir is required."""
+    import PIL.Image
+
+    from layout2img_tpu.cli import evaluate as ev
+
+    d = tmp_path / "real"
+    d.mkdir()
+    for i in range(8):
+        arr = rng.integers(0, 255, (75, 75, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(d / f"img{i}.png")
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.main(["kid", "--dir", str(d), "--ref_dir", str(d),
+                 "--batch_size", "4", "--kid_subsets", "5"])
+    line = [ln for ln in buf.getvalue().splitlines() if ln.startswith("KID:")][0]
+    kid_e3 = float(line.split()[1])
+    assert abs(kid_e3) < 50.0  # x10^-3 units; identical dirs stay near zero
+
+    with pytest.raises(SystemExit):
+        ev.main(["kid", "--dir", str(d), "--batch_size", "4"])
+
+
 def test_run_inception_batches_mesh_matches_single(rng):
     """Multi-chip eval path: image chunks sharded over the 8-device CPU mesh
     produce the same features/probs as the single-device run (per-image
