@@ -87,6 +87,12 @@ def main(argv=None):
     from layout2img_tpu.train.step import make_sample_fn
 
     args = parse_args(argv)
+    if args.obj_budget and args.model in EXPERIMENTS and EXPERIMENTS[args.model].special:
+        # the special samplers (ours_ed / layout2im) have no object-budget
+        # path; refuse rather than silently serve unbudgeted
+        raise SystemExit(
+            f"--obj_budget is a LostGAN-family flag; --model {args.model} "
+            f"has no object-budget serving path")
     sample_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     num_classes, num_objects = dataset_spec(args.dataset)
     cfg = TrainConfig(use_vgg_loss=False)

@@ -199,6 +199,12 @@ def main(argv=None):
     if args.img_size == 0:
         args.img_size = exp.image_size
     if exp.special:
+        if args.g_obj_budget or args.d_obj_budget:
+            # the special trainers (step_bgfg/step_layout2im) have no
+            # object-budget path; refuse rather than silently ignore the flag
+            raise SystemExit(
+                f"--g_obj_budget/--d_obj_budget are LostGAN-family flags; "
+                f"--model {args.model} has no object-budget path")
         return main_special(args)
     if args.img_size > exp.image_size:
         # refuse to silently build a wrong upscaled model (e.g. a 256px net
@@ -426,6 +432,24 @@ def main(argv=None):
             return preempted["flag"]
 
     stop = diverged = False
+    # Pre-save divergence check (closes the --log_every window: a divergence
+    # just after a log point must not reach an epoch/final/preemption save).
+    # Metrics are replicated, so every host takes the same branch.
+    latest = {"metrics": None, "step": 0}
+
+    def metrics_ok() -> bool:
+        if not args.nan_guard or latest["metrics"] is None:
+            return True
+        m = {k: float(v) for k, v in jax.device_get(latest["metrics"]).items()}
+        if args.fault_inject_nan_at and latest["step"] >= args.fault_inject_nan_at:
+            m["d_loss"] = float("nan")  # --fault_inject_nan_at drill
+        if all(np.isfinite(v) for v in m.values()):
+            return True
+        logger.error(
+            "non-finite metrics at step %d (pre-save check) — divergence; "
+            "keeping the last good checkpoint and exiting 3", latest["step"])
+        return False
+
     for epoch in range(args.total_epoch):
         # host batches are assembled + transferred 2 steps ahead in a
         # background thread, landing pre-sharded over the mesh, so H2D
@@ -442,6 +466,7 @@ def main(argv=None):
                 jax.profiler.start_trace(args.profile_dir)
             state, metrics = step_fn(state, batch, replicate(mesh, step_rng))
             global_step += 1
+            latest["metrics"], latest["step"] = metrics, global_step
             if args.profile_dir and global_step == 20:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -495,10 +520,16 @@ def main(argv=None):
                     global_step)
             break
         if (epoch + 1) % args.save_every_epochs == 0:
+            if not metrics_ok():
+                diverged = True
+                break
             save_ckpt(state)
             logger.info("saved checkpoint at epoch %d (step %d)", epoch + 1, global_step)
     if not diverged:
-        save_ckpt(state)
+        if metrics_ok():
+            save_ckpt(state)
+        else:
+            diverged = True
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     if prev_handler is not None:
         # None = a non-Python handler we cannot reinstall — leave ours then
@@ -601,12 +632,29 @@ def main_special(args):
     rng = jax.random.PRNGKey(args.seed + 1)
     diverged = False
     global_step = int(jax.device_get(state.step))
+    # same pre-save divergence check as main() (closes the --log_every window)
+    latest = {"metrics": None, "step": 0}
+
+    def metrics_ok() -> bool:
+        if not args.nan_guard or latest["metrics"] is None:
+            return True
+        m = {k: float(v) for k, v in jax.device_get(latest["metrics"]).items()}
+        if args.fault_inject_nan_at and latest["step"] >= args.fault_inject_nan_at:
+            m["d_loss"] = float("nan")  # --fault_inject_nan_at drill
+        if all(np.isfinite(v) for v in m.values()):
+            return True
+        logger.error(
+            "non-finite metrics at step %d (pre-save check) — divergence; "
+            "keeping the last good checkpoint and exiting 3", latest["step"])
+        return False
+
     for epoch in range(args.total_epoch):
         for batch in loader:
             batch = jax.tree_util.tree_map(jnp.asarray, prepare(batch))
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
+            latest["metrics"], latest["step"] = metrics, global_step
             if global_step % args.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 if args.fault_inject_nan_at and global_step >= args.fault_inject_nan_at:
@@ -632,9 +680,15 @@ def main_special(args):
                         global_step)
             break
         if (epoch + 1) % args.save_every_epochs == 0:
+            if not metrics_ok():
+                diverged = True
+                break
             save_ckpt(state)
     if not diverged:
-        save_ckpt(state)
+        if metrics_ok():
+            save_ckpt(state)
+        else:
+            diverged = True
     getattr(ckpt, "wait", lambda: None)()  # drain any in-flight async save
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)

@@ -98,3 +98,30 @@ def test_nan_guard_preserves_last_good_checkpoint(tmp_path):
     saved = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
     # the epoch-1 save (step 3) survives; nothing at or after the fault step
     assert saved == [3], out_text
+
+
+@pytest.mark.slow
+def test_nan_guard_pre_save_check_catches_log_window(tmp_path):
+    """ADVICE r4: a divergence between two --log_every polls must not reach
+    an epoch-boundary save. Here --log_every 100 never fires within the run,
+    so only the pre-save check stands between the NaN state (poisoned from
+    step 5) and the epoch-2 checkpoint at step 6: the epoch-1 save (step 3)
+    must survive alone and the trainer exit 3."""
+    out = str(tmp_path)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CPU_SHIM,
+         "--model", "ours_d", "--dataset", "synthetic",
+         "--total_epoch", "2", "--steps_per_epoch", "3",
+         "--batch_size", "2", "--img_size", "64", "--ch", "4", "--no_vgg",
+         "--log_every", "100", "--save_every_epochs", "1",
+         "--fault_inject_nan_at", "5",
+         "--out_path", out],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out_text, _ = proc.communicate(timeout=900)
+    assert proc.returncode == 3, out_text
+    assert "pre-save check" in out_text, out_text
+
+    ckpt_dir = os.path.join(out, "synthetic", "64", "ours_d", "ckpt")
+    saved = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert saved == [3], out_text
