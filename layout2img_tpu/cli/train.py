@@ -541,8 +541,22 @@ def main(argv=None):
 
 
 def main_special(args):
-    """Training paths for the Ours-ED fg/bg and layout2im families."""
+    """Training paths for the Ours-ED fg/bg and layout2im families.
+
+    Single-process, multi-chip: like main(), the train step is jitted over a
+    1-D data mesh (batch sharded, params replicated; GSPMD inserts the
+    gradient/BN collectives). The reference wraps these trainers in
+    nn.DataParallel too (train_ours.py:71-73,
+    train_ours_layout2img.py:70-72); multi-PROCESS launch stays refused —
+    there is no collective checkpoint path for these families.
+    """
     from layout2img_tpu.cli.presets import dataset_spec
+    from layout2img_tpu.parallel.mesh import (
+        jit_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
     from layout2img_tpu.utils.logging import MetricWriter, setup_logger
 
     if jax.process_count() > 1:
@@ -563,6 +577,17 @@ def main_special(args):
     logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
     writer = MetricWriter(out_dir, rank=rank, tensorboard=args.tensorboard)
     rng = jax.random.PRNGKey(args.seed)
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    if n_dev != len(devices):
+        logger.warning("batch %d not divisible by %d devices; using %d",
+                       args.batch_size, len(devices), n_dev)
+    mesh = make_mesh(devices[:n_dev])
+    logger.info("training %s on %s: %d device(s), batch %d",
+                args.model, args.dataset, n_dev, args.batch_size)
 
     if args.model == "ours_ed":
         from layout2img_tpu.data.coco import split_fg_bg_batch
@@ -587,7 +612,7 @@ def main_special(args):
         example = split_fg_bg_batch(next(iter(loader)))
         example = jax.tree_util.tree_map(jnp.asarray, example)
         state = create_bgfg_state(rng, gen, disc, example, cfg)
-        step_fn = jax.jit(make_bgfg_train_step(gen, disc, cfg, vgg_loss=vgg), donate_argnums=(0,))
+        step_fn = jit_train_step(make_bgfg_train_step(gen, disc, cfg, vgg_loss=vgg), mesh)
         prepare = split_fg_bg_batch
     else:  # layout2im
         from layout2img_tpu.models.layout2im import (
@@ -608,7 +633,7 @@ def main_special(args):
         l2i_cfg = Layout2ImConfig(lr_g=args.g_lr, lr_d=args.d_lr)
         example = jax.tree_util.tree_map(jnp.asarray, next(iter(loader)))
         state = create_layout2im_state(rng, gen, d_img, d_obj, example, l2i_cfg)
-        step_fn = jax.jit(make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg), donate_argnums=(0,))
+        step_fn = jit_train_step(make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg), mesh)
         prepare = lambda b: b
 
     from layout2img_tpu.train.checkpoint import AsyncSaver, CheckpointManager
@@ -621,6 +646,7 @@ def main_special(args):
         save_ckpt = lambda st: ckpt.save(jax.device_get(st))
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+    state = replicate(mesh, state)
 
     # same single-process SIGTERM preemption save as main()
     import signal
@@ -650,9 +676,10 @@ def main_special(args):
 
     for epoch in range(args.total_epoch):
         for batch in loader:
-            batch = jax.tree_util.tree_map(jnp.asarray, prepare(batch))
+            # batch lands sharded over the data mesh; state/rng replicated
+            batch = shard_batch(mesh, prepare(batch))
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
+            state, metrics = step_fn(state, batch, replicate(mesh, step_rng))
             global_step += 1
             latest["metrics"], latest["step"] = metrics, global_step
             if global_step % args.log_every == 0:

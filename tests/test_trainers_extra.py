@@ -93,3 +93,86 @@ def test_layout2im_train_step(rng):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.g_params, new_state.g_params
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_bgfg_step_data_parallel_matches_single(rng):
+    """cli.train main_special jits the Ours-ED step over a 1-D data mesh
+    (the reference's nn.DataParallel, train_ours.py:71-73); sharded-batch
+    numerics must match the unsharded run."""
+    from layout2img_tpu.models.discriminators import LayoutDiscriminator
+    from layout2img_tpu.models.generators import BgFgGenerator
+    from layout2img_tpu.parallel.mesh import (
+        jit_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from layout2img_tpu.train.state import TrainConfig
+    from layout2img_tpu.train.step_bgfg import create_bgfg_state, make_bgfg_train_step
+
+    batch = _bgfg_batch(rng, b=8)
+    gen = BgFgGenerator(num_fg_classes=91, num_bg_classes=93, ch=4)
+    disc = LayoutDiscriminator(num_classes=184, image_size=64, ch=4)
+    cfg = TrainConfig(use_vgg_loss=False)
+    state = create_bgfg_state(jax.random.PRNGKey(0), gen, disc, batch, cfg)
+    step = make_bgfg_train_step(gen, disc, cfg)
+    ref_state, ref_metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    pstep = jit_train_step(step, mesh, donate_state=False)
+    new_state, metrics = pstep(
+        replicate(mesh, state), shard_batch(mesh, batch),
+        replicate(mesh, jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(ref_metrics["d_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(metrics["g_loss"]), float(ref_metrics["g_loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(ref_state.g_params)[0]
+    b = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    # one-Adam-step bound: collective reassociation can flip sign(g) on
+    # near-zero grads (same rationale as test_train_step_data_parallel_...)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
+def test_layout2im_step_data_parallel_matches_single(rng):
+    """Same for the layout2im CVAE-GAN step (reference DataParallel,
+    train_ours_layout2img.py:70-72)."""
+    from layout2img_tpu.models.layout2im import (
+        Layout2ImGenerator,
+        Layout2ImImageDiscriminator,
+        Layout2ImObjectDiscriminator,
+    )
+    from layout2img_tpu.parallel.mesh import (
+        jit_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from layout2img_tpu.train.step_layout2im import (
+        Layout2ImConfig,
+        create_layout2im_state,
+        make_layout2im_train_step,
+    )
+
+    batch = synthetic_batch(rng, 8, 64, 4, num_classes=10)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    gen = Layout2ImGenerator(num_classes=10)
+    d_img = Layout2ImImageDiscriminator(conv_dim=8)
+    d_obj = Layout2ImObjectDiscriminator(num_classes=10, conv_dim=8)
+    cfg = Layout2ImConfig()
+    state = create_layout2im_state(jax.random.PRNGKey(0), gen, d_img, d_obj, batch, cfg)
+    step = make_layout2im_train_step(gen, d_img, d_obj, cfg)
+    ref_state, ref_metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    pstep = jit_train_step(step, mesh, donate_state=False)
+    new_state, metrics = pstep(
+        replicate(mesh, state), shard_batch(mesh, batch),
+        replicate(mesh, jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), float(ref_metrics["d_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(metrics["g_loss"]), float(ref_metrics["g_loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(ref_state.g_params)[0]
+    b = jax.tree_util.tree_leaves(new_state.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
