@@ -94,6 +94,15 @@ def main():
             raise SystemExit(f"BENCH_G_OBJ_BUDGET is not exact for {preset}: {why}")
     cfg = TrainConfig(mixed_precision=mixed, fused_d=fused_d, remat=remat,
                       d_obj_budget=d_obj_budget, g_obj_budget=g_obj_budget)
+    if (jax.default_backend() == "tpu" and num_obj >= 31 and batch_size >= 128
+            and not (d_obj_budget or g_obj_budget)):
+        # known-fatal compile region on this toolchain (docs/perf_r4.md,
+        # deterministic 2/2): the un-budgeted o>=31 object program at b>=128
+        # crashes the remote compile helper AFTER the 4-12 min compile wait.
+        # Minimal repro: scripts/repro_compile_crash.py.
+        log("WARNING: known compile-crash region (un-budgeted o>=31 at "
+            "b>=128) — set BENCH_D_OBJ_BUDGET=12 (and BENCH_G_OBJ_BUDGET=12 "
+            "on eligible models); continuing anyway")
     log("initializing VGG (jitted)")
     vgg_params = jax.jit(VGG19Features().init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))

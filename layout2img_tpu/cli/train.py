@@ -98,6 +98,12 @@ def parse_args(argv=None):
                         "corrected-attention models only. Unlike "
                         "--d_obj_budget, overflow objects are dropped from "
                         "the generated image, not just from D's view")
+    p.add_argument("--obj_budget_force", action="store_true",
+                   help="accept a --g_obj_budget below the dataset's max "
+                        "valid object count (overflow objects then vanish "
+                        "from generated images on crowded layouts). Without "
+                        "it the guard refuses — the reference's ragged "
+                        "label != 0 path never drops an object")
     p.add_argument("--l2i_fusion", default="transformer",
                    choices=["transformer", "convlstm", "transformer_decoder",
                             "transformer_noctx"],
@@ -173,6 +179,79 @@ def build_dataset(args, num_objects, eval_mode: bool = False):
     )
 
 
+def check_obj_budgets(loader, args, logger) -> None:
+    """Data-driven object-budget guard (VERDICT r4 #2).
+
+    The budgets are exact only when K >= every layout's valid object count;
+    the reference's ragged ``label != 0`` path never drops anything
+    (rcnn_discriminator_app.py:415-417). So: compute the valid-count
+    distribution from the dataset index (no image IO), log it, REFUSE a
+    --g_obj_budget below the observed max (overflow objects would vanish
+    from generated images) unless --obj_budget_force, and WARN for a
+    --d_obj_budget below the max (overflow drops from D's view only).
+    The train step additionally logs live truncation rates
+    (g/d_budget_overflow in the metric stream, train/step.py)."""
+    if not (args.g_obj_budget or args.d_obj_budget):
+        return
+    ds = getattr(loader, "dataset", loader)
+    counts_fn = getattr(ds, "valid_object_counts", None)
+    if counts_fn is None:
+        logger.warning("dataset %s has no valid-object-count index; object "
+                       "budgets are UNCHECKED", type(ds).__name__)
+        return
+    c = np.asarray(counts_fn())
+    if c.size == 0:
+        return
+    mx = int(c.max())
+    logger.info(
+        "valid objects per image: max %d, p50 %d, p95 %d, p99 %d (%d layouts)",
+        mx, int(np.percentile(c, 50)), int(np.percentile(c, 95)),
+        int(np.percentile(c, 99)), c.size)
+    for name, k, fatal in (("--g_obj_budget", args.g_obj_budget, True),
+                           ("--d_obj_budget", args.d_obj_budget, False)):
+        if not k or k >= mx:
+            continue
+        over = float((c > k).mean()) * 100.0
+        msg = (f"{name} {k} is below the dataset's max valid object count "
+               f"{mx}: {over:.2f}% of layouts exceed it and lose their "
+               f"overflow objects "
+               + ("from the GENERATED IMAGE" if fatal else "from D's view only")
+               + f"; {name} {mx} is exact")
+        if fatal and not args.obj_budget_force:
+            raise SystemExit(msg + " (pass --obj_budget_force to accept the drop)")
+        logger.warning(msg + (" (accepted via --obj_budget_force)" if fatal else ""))
+
+
+def warn_known_compile_crash(num_objects: int, per_device_batch: int,
+                             d_obj_budget: int, g_obj_budget: int,
+                             logger) -> bool:
+    """Pre-flight check for a known-fatal compile region (VERDICT r4 #5).
+
+    On this TPU toolchain the UN-budgeted o>=31 D object program at
+    per-device batch >= 128 deterministically crashes the remote
+    compile helper — after the user has already waited through a 4-12 min
+    compile (docs/perf_r4.md, measured 2/2 at VG shape). Warn BEFORE
+    compiling and point at the budgets, which shrink the object program
+    enough to compile AND run 35% faster. Minimal repro for reporting the
+    compiler bug upstream: scripts/repro_compile_crash.py.
+    Returns True when the warning fired (for tests)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if num_objects >= 31 and per_device_batch >= 128 and not (
+            d_obj_budget or g_obj_budget):
+        logger.warning(
+            "KNOWN COMPILE CRASH REGION: un-budgeted o=%d at per-device "
+            "batch %d has crashed this toolchain's compile helper "
+            "deterministically (docs/perf_r4.md). Pass --d_obj_budget 12 "
+            "(and --g_obj_budget 12 on eligible models) — it compiles, is "
+            "exact when the budget covers the data's max valid object "
+            "count, and is the measured VG optimum (230-248 img/s/chip). "
+            "Continuing anyway; expect a possible crash after the compile "
+            "wait.", num_objects, per_device_batch)
+        return True
+    return False
+
+
 def main(argv=None):
     from layout2img_tpu.cli.presets import EXPERIMENTS, dataset_spec
     from layout2img_tpu.data.prefetch import device_prefetch
@@ -246,6 +325,7 @@ def main(argv=None):
             raise SystemExit(f"--g_obj_budget is not exact for this model: {why}")
 
     loader = build_dataset(args, num_objects)
+    check_obj_budgets(loader, args, logger)
     cfg = TrainConfig(g_lr=args.g_lr, d_lr=args.d_lr, use_vgg_loss=not args.no_vgg,
                       mixed_precision=args.mixed_precision,
                       ema_decay=args.ema_decay, fused_d=args.fused_d,
@@ -343,6 +423,10 @@ def main(argv=None):
     logger.info("training %s on %s: %d process(es), %d device(s), per-process batch %d"
                 + (f", model_parallel {mp} ({args.mp_mode})" if mp > 1 else ""),
                 args.model, args.dataset, n_proc, n_dev, args.batch_size)
+    per_dev_batch = (args.batch_size // (n_dev // mp) if mp > 1
+                     else (args.batch_size * n_proc) // n_dev)
+    warn_known_compile_crash(num_objects, per_dev_batch,
+                             args.d_obj_budget, args.g_obj_budget, logger)
     train_step = make_train_step(gen, disc, cfg, vgg_loss=vgg)
     from layout2img_tpu.train.step import make_sample_fn
 

@@ -131,6 +131,16 @@ class CocoLayoutDataset:
             return min(n, self.max_samples)
         return n * 2 if self.left_right_flip else n
 
+    def valid_object_counts(self) -> np.ndarray:
+        """Per-image count of valid (label != 0) object slots, straight from
+        the filtered annotation index (no image IO). This is the distribution
+        the --g_obj_budget/--d_obj_budget guards check: the reference's
+        ragged ``label != 0`` path never drops an object
+        (rcnn_discriminator_app.py:415-417), so a budget below this
+        distribution's max silently changes semantics."""
+        return np.asarray([len(self.objects[i]) for i in self.image_ids],
+                          np.int32)
+
     def _load_image(self, image_id: int, flip: bool) -> np.ndarray:
         path = os.path.join(self.image_dir, self.image_id_to_filename[image_id])
         if self.use_native and path.lower().endswith((".jpg", ".jpeg")):

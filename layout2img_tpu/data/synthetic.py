@@ -85,6 +85,12 @@ class SyntheticLayoutDataset:
         self.seed = seed
         self.steps = steps
 
+    def valid_object_counts(self) -> np.ndarray:
+        """Synthetic batches draw n ~ U[3, num_objects] valid objects per
+        image, unbounded over steps — report the attainable range so the
+        object-budget guard (cli.train) sees the true max."""
+        return np.arange(3, self.num_objects + 1, dtype=np.int32)
+
     def __iter__(self):
         rng = np.random.default_rng(self.seed)
         i = 0

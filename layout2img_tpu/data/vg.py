@@ -79,6 +79,32 @@ class VgLayoutDataset:
             return min(self.max_samples, n)
         return n * 2 if self.left_right_flip else n
 
+    def valid_object_counts(self) -> np.ndarray:
+        """Per-image count of valid (label != 0) object slots, in one pass
+        over the h5 metadata (no image IO). Deterministic even though object
+        SELECTION is random: the sampler's rng only picks WHICH objects when
+        crowding forces a choice, never how many — crowded-relationship
+        images take max_objects, the rest min(objects, max_objects - 1)
+        (the trailing __image__ token has label 0 and never counts). Feeds
+        the --g_obj_budget/--d_obj_budget guards: the reference never drops
+        an object (rcnn_discriminator_app.py:415-417)."""
+        n = self.data["object_names"].shape[0]
+        counts = np.zeros(n, np.int32)
+        rel_n = self.data["relationships_per_image"]
+        subs = self.data["relationship_subjects"]
+        objs = self.data["relationship_objects"]
+        per_img = self.data["objects_per_image"]
+        for i in range(n):
+            r = int(rel_n[i])
+            n_rel = len(set(subs[i, :r].tolist()) | set(objs[i, :r].tolist()))
+            if n_rel > self.max_objects - 1:
+                counts[i] = self.max_objects
+            elif self.use_orphaned:
+                counts[i] = min(int(per_img[i]), self.max_objects - 1)
+            else:
+                counts[i] = n_rel
+        return counts
+
     def __getitem__(self, index: int) -> dict:
         import PIL.Image
         import PIL.ImageOps

@@ -76,7 +76,14 @@ def make_train_step(
         # (see TrainConfig.g_obj_budget for the eligibility caveats: v2 mask
         # trunk + corrected attention only). z is drawn at full width first
         # so the per-slot draws match the unbudgeted step bit-for-bit.
+        budget_metrics = {}
         if 0 < config.g_obj_budget < o:
+            # live truncation rate: fraction of layouts this step whose valid
+            # count exceeds the budget (those lose objects from the IMAGE) —
+            # surfaces silent semantic drift in the metric stream
+            budget_metrics["g_budget_overflow"] = jnp.mean(
+                (jnp.sum(labels != 0, axis=1) > config.g_obj_budget)
+                .astype(jnp.float32))
             g_order = jnp.argsort((labels == 0).astype(jnp.int32), axis=1,
                                   stable=True)[:, : config.g_obj_budget]
             labels = jnp.take_along_axis(labels, g_order, axis=1)
@@ -93,6 +100,10 @@ def make_train_step(
         # reference (ragged lists) never did either. G still draws all o.
         d_boxes, d_labels, d_valid = boxes, labels, valid
         if 0 < config.d_obj_budget < o:
+            # truncation rate for D's view (overflow objects escape D only)
+            budget_metrics["d_budget_overflow"] = jnp.mean(
+                (jnp.sum(labels != 0, axis=1) > config.d_obj_budget)
+                .astype(jnp.float32))
             order = jnp.argsort((labels == 0).astype(jnp.int32), axis=1,
                                 stable=True)[:, : config.d_obj_budget]
             d_labels = jnp.take_along_axis(labels, order, axis=1)
@@ -203,7 +214,7 @@ def make_train_step(
 
             ema_params = ema_update(ema_params, g_params, config.ema_decay)
 
-        metrics = {"d_loss": d_loss, "g_loss": g_loss} | d_metrics | g_metrics
+        metrics = {"d_loss": d_loss, "g_loss": g_loss} | d_metrics | g_metrics | budget_metrics
         new_state = state.replace(
             step=state.step + 1,
             ema_params=ema_params,

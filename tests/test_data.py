@@ -68,6 +68,12 @@ def test_coco_dataset_shapes_and_padding(coco_fixture):
     n_valid = int((item["labels"] != 0).sum())
     assert n_valid >= 3
     np.testing.assert_allclose(item["boxes"][n_valid:], [[-0.6, -0.6, 0.5, 0.5]] * (8 - n_valid))
+    # the object-budget guard's index must predict per-item valid counts
+    counts = ds.valid_object_counts()
+    assert counts.shape[0] == len(ds.image_ids)
+    assert counts[0] == n_valid
+    for i in range(len(ds.image_ids)):
+        assert counts[i] == int((ds[i]["labels"] != 0).sum()), i
 
 
 def test_coco_flip_mirrors_boxes(coco_fixture):

@@ -81,6 +81,14 @@ def test_preprocess_and_load(raw_vg):
     assert (item["labels"] != 0).sum() >= 2
     assert item["boxes"].min() >= -0.6
 
+    # valid_object_counts (the object-budget guard's index) must predict the
+    # actual per-item nonzero-label counts exactly — the sampler's rng picks
+    # WHICH objects, never how many
+    counts = ds.valid_object_counts()
+    assert counts.shape[0] == len(ds)
+    for i in range(len(ds)):
+        assert counts[i] == int((ds[i]["labels"] != 0).sum()), i
+
 
 def test_visualize_helpers(rng, tmp_path):
     from layout2img_tpu.cli.visualize import colorize_classes, draw_boxes, save_mask_argmax
