@@ -77,6 +77,14 @@ def parse_args(argv=None):
     p.add_argument("--remat_d_blocks", type=int, default=0,
                    help="checkpoint the first N D ResBlocks (needed to fit "
                         "256px runs at useful batch sizes)")
+    p.add_argument("--neutral_bg", action="store_true",
+                   help="ours_ed control experiment (VERDICT r4 #3): replace "
+                        "the saturated class-colored background walls with "
+                        "the LostGAN task's neutral gray, keeping the "
+                        "trainer/model identical. If the fg score recovers "
+                        "to LostGAN-family levels, the default task's fg "
+                        "plateau is wall-color mixing in the learned fusion, "
+                        "not a conditioning defect (docs/ours_ed_fg.md)")
     p.add_argument("--torch_init", action="store_true",
                    help="initialize G+D from random-weight REFERENCE torch "
                         "models via the .pth importers (the cli.train "
@@ -195,6 +203,47 @@ def bg_color_score(imgs, batch, s, palette, num_classes):
     return float(np.mean(scores))
 
 
+def fg_orth_score(imgs, batch, s, palette, num_classes):
+    """ours_ed bleed-immune fg metric (VERDICT r4 #3): the two-stream
+    'composite' is a LEARNED feature fusion (models/generators.py:246-252,
+    reference resnet_generator_v1.py:358-380), so box-interior pixels mix the
+    fg class color with the saturated bg wall color — depressing the plain
+    cosine even when the fg signal is fully present. Project the wall-color
+    direction out of BOTH the measured and target colors and take the cosine
+    of the residuals: any additive wall-color mixing drops out, leaving only
+    the fg-class component."""
+    imgs = np.asarray(imgs)
+    labels_fg = np.asarray(batch["labels_fg"])
+    boxes_fg = np.asarray(batch["boxes_fg"])
+    labels_bg = np.asarray(batch["labels_bg"])
+    scores = []
+    for i in range(imgs.shape[0]):
+        wall = palette[num_classes - 1 + labels_bg[i, 0]]
+        nb = np.linalg.norm(wall)
+        if nb < 1e-6:
+            continue  # neutral-gray control: nothing to project out
+        bhat = wall / nb
+        for j in range(labels_fg.shape[1]):
+            if labels_fg[i, j] == 0:
+                continue
+            x0, y0, w, h = np.asarray(boxes_fg[i, j])
+            px = (np.array([x0 + 0.25 * w, y0 + 0.25 * h,
+                            x0 + 0.75 * w, y0 + 0.75 * h]) * s).astype(int)
+            region = imgs[i, px[1]:px[3], px[0]:px[2]]
+            if region.size == 0:
+                continue
+            got = region.reshape(-1, 3).mean(0)
+            want = palette[labels_fg[i, j]]
+            got_p = got - (got @ bhat) * bhat
+            want_p = want - (want @ bhat) * bhat
+            if np.linalg.norm(want_p) < 0.2:
+                continue  # fg color ~parallel to the wall: no residual signal
+            scores.append(float(
+                got_p @ want_p
+                / (np.linalg.norm(got_p) * np.linalg.norm(want_p) + 1e-6)))
+    return float(np.mean(scores)) if scores else float("nan")
+
+
 def build_family(a):
     """Returns (state, step, sample_images, make_batch_fn, score_fn, pixel_key)
     for the requested preset — the LostGAN family via the generic GAN step,
@@ -210,6 +259,10 @@ def build_family(a):
 
         assert a.img_size == 64, "ours_ed is the 64px family"
         palette = make_palette(a.num_classes + N_BG_CLASSES)
+        if a.neutral_bg:
+            # control: every wall becomes the LostGAN task's neutral gray —
+            # same trainer/model, fg measurement now matches the LostGAN task
+            palette[a.num_classes:] = -0.2
         gen = BgFgGenerator(num_fg_classes=a.num_classes,
                             num_bg_classes=N_BG_CLASSES + 1, ch=a.ch)
         disc = make_discriminator("d64", a.num_classes + N_BG_CLASSES, ch=a.ch)
@@ -226,7 +279,8 @@ def build_family(a):
             fg = color_score(np.asarray(img), np.asarray(batch["labels_fg"]),
                              np.asarray(batch["boxes_fg"]), a.img_size, palette)
             bg = bg_color_score(img, batch, a.img_size, palette, a.num_classes)
-            return fg, {"bg": bg}, np.asarray(img)
+            orth = fg_orth_score(img, batch, a.img_size, palette, a.num_classes)
+            return fg, {"bg": bg, "fg_orth": orth}, np.asarray(img)
 
         return state, step, batch_fn, score_fn, "pixel_loss", palette
 
