@@ -73,6 +73,81 @@ def write_synthetic_coco(
     return root, inst
 
 
+def write_synthetic_vg(
+    root: str,
+    n_images: int,
+    width: int = 640,
+    height: int = 480,
+    objects_per_image: int = 5,
+    relationships_per_image: int = 2,
+    quality: int = 90,
+    seed: int = 0,
+) -> tuple[str, str, str]:
+    """Write a tiny on-disk VG-format dataset — real JPEGs + vocab.json +
+    train.h5 in the exact preprocessed schema ``data/vg.py`` consumes
+    (cli/preprocess_vg.py output: int32 arrays, pixel xywh boxes, vlen-str
+    image_paths) — for ingest benchmarks and end-to-end data-path tests.
+
+    Returns (vocab_json_path, h5_path, image_dir_root): pass the ROOT as the
+    dataset's image_dir — image_paths carry the 'images/...' prefix like the
+    real preprocessor's 'VG_100K/...'."""
+    import json
+    import os
+
+    import h5py
+    import PIL.Image
+
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (height, width, 3), np.uint8)
+
+    names = ["__image__"] + [f"obj{i}" for i in range(1, 16)]
+    vocab = {
+        "object_idx_to_name": names,
+        "object_name_to_idx": {n: i for i, n in enumerate(names)},
+        "pred_idx_to_name": ["__in_image__", "next to"],
+        "pred_name_to_idx": {"__in_image__": 0, "next to": 1},
+    }
+    o, r = objects_per_image, relationships_per_image
+    rows = {
+        "object_names": np.zeros((n_images, o), np.int32),
+        "object_boxes": np.zeros((n_images, o, 4), np.int32),
+        "objects_per_image": np.full(n_images, o, np.int32),
+        "relationships_per_image": np.full(n_images, r, np.int32),
+        "relationship_subjects": np.zeros((n_images, r), np.int32),
+        "relationship_predicates": np.ones((n_images, r), np.int32),
+        "relationship_objects": np.zeros((n_images, r), np.int32),
+    }
+    paths = []
+    for i in range(n_images):
+        arr = np.roll(base, i * 7, axis=1)
+        name = f"{i:06d}.jpg"
+        PIL.Image.fromarray(arr).save(os.path.join(img_dir, name), quality=quality)
+        paths.append(os.path.join("images", name))
+        rows["object_names"][i] = rng.integers(1, len(names), o)
+        bw, bh = int(width * 0.3), int(height * 0.3)
+        for j in range(o):
+            rows["object_boxes"][i, j] = (
+                int(rng.integers(0, width - bw)), int(rng.integers(0, height - bh)),
+                bw, bh,
+            )
+        rows["relationship_subjects"][i] = rng.integers(0, o, r)
+        rows["relationship_objects"][i] = rng.integers(0, o, r)
+
+    vocab_path = os.path.join(root, "vocab.json")
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f)
+    h5_path = os.path.join(root, "train.h5")
+    with h5py.File(h5_path, "w") as f:
+        f.create_dataset(
+            "image_paths",
+            data=np.asarray(paths, dtype=h5py.special_dtype(vlen=str)))
+        for key, v in rows.items():
+            f.create_dataset(key, data=v)
+    return vocab_path, h5_path, root
+
+
 class SyntheticLayoutDataset:
     """Iterable of synthetic batches (deterministic per seed)."""
 

@@ -235,3 +235,27 @@ def test_train_cli_from_on_disk_coco(tmp_path):
     assert (root / "metrics.jsonl").exists()
     lines = (root / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) >= 2  # 8 imgs / batch 4 = 2 steps
+
+
+@pytest.mark.slow
+def test_train_cli_from_on_disk_vg(tmp_path):
+    """End-to-end VG data path (VERDICT r4 #4): train.h5 + JPEGs on disk ->
+    VgLayoutDataset (relationship-preferring sampling, 31 slots) ->
+    HostDataLoader -> device_prefetch -> train steps, through the real CLI —
+    mirrors test_train_cli_from_on_disk_coco for the VG plane."""
+    from layout2img_tpu.cli.train import main
+    from layout2img_tpu.data.synthetic import write_synthetic_vg
+
+    vocab, h5, img_root = write_synthetic_vg(str(tmp_path / "vg"), 8,
+                                             width=96, height=96)
+    out = tmp_path / "out"
+    main([
+        "--model", "lostgan", "--dataset", "vg", "--total_epoch", "1",
+        "--batch_size", "4", "--img_size", "64", "--ch", "4", "--no_vgg",
+        "--log_every", "1", "--out_path", str(out),
+        "--vg_vocab", vocab, "--vg_h5", h5, "--vg_image_dir", img_root,
+    ])
+    root = out / "vg" / "64" / "lostgan"
+    assert (root / "metrics.jsonl").exists()
+    lines = (root / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 2
