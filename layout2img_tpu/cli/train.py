@@ -306,6 +306,25 @@ def main(argv=None):
     logger = setup_logger("layout2img_tpu", out_dir, rank=rank)
     writer = MetricWriter(out_dir, rank=rank, tensorboard=args.tensorboard)
 
+    if (jax.process_count() > 1 and jax.devices()[0].platform == "cpu"
+            and jax.config.jax_compilation_cache_dir):
+        # The persistent compile cache is structurally ASYMMETRIC in
+        # multi-process runs: cache keys embed the process index (measured:
+        # the same jitted psum hashes to different keys on p0 and p1) and
+        # only process 0 writes entries — so on a warm cache process 0
+        # deserializes and dispatches the first train step in seconds while
+        # every other process recompiles for minutes. The CPU backend's
+        # Gloo collectives hard-fail context init after 30 s of dispatch
+        # skew (GetKeyValue() DEADLINE_EXCEEDED), killing the run. Cold
+        # compiles are symmetric (measured 3 s skew at a 2 min compile), so
+        # the safe multi-process-CPU configuration is no cache at all. TPU
+        # collectives have no such init deadline — real pods keep the cache.
+        jax.config.update("jax_enable_compilation_cache", False)
+        logger.warning(
+            "multi-process CPU run: persistent compilation cache disabled "
+            "(per-process cache keys make warm-cache dispatch skew exceed "
+            "Gloo's 30 s collective-context deadline)")
+
     gen_overrides = {}
     if args.torch_ckpt_g:
         # reference checkpoints were trained with the attention-concat
@@ -459,7 +478,25 @@ def main(argv=None):
         sharding = batch_sharding(mesh)
     is_primary = jax.process_index() == 0
     evaluator = None
-    if args.eval_every > 0 and is_primary and n_proc == 1:
+    eval_barrier = None
+    if args.eval_every > 0 and n_proc > 1:
+        # Multi-host (VERDICT r4 #7): the eval runs HOST-LOCALLY on process 0
+        # (params/EMA are fully replicated, so device_get reads the full
+        # value from its own shard; sampling + Inception execute on its
+        # addressable devices — zero cross-host collectives). The other
+        # hosts must NOT run ahead meanwhile: leaving a train-step
+        # collective waiting on process 0 for minutes trips backend
+        # deadlines (measured: CPU/Gloo context init hard-fails at 30 s
+        # while process 0 compiles Inception). So every host joins a
+        # COORDINATION-SERVICE barrier (python-level, no device work — the
+        # same channel the async-ckpt finalization uses, train/checkpoint
+        # .py) at the deterministic eval cadence; the timeout covers the
+        # first-call sample/Inception compiles.
+        from orbax.checkpoint import multihost as ocp_multihost
+
+        eval_barrier = ocp_multihost.get_barrier_sync_fn()
+    if args.eval_every > 0 and is_primary:
+        # The frozen pool is process 0's local data shard.
         import itertools
 
         from layout2img_tpu.train.eval_hook import PeriodicEval
@@ -474,10 +511,14 @@ def main(argv=None):
             logger.warning(
                 "--eval_every without --inception_weights: rel_fid uses "
                 "fixed-seed random filters (relative trajectory only)")
-        logger.info("periodic eval: %d real images every %d steps",
+        logger.info("periodic eval: %d real images every %d steps"
+                    + (" (host-local on process 0)" if n_proc > 1 else ""),
                     evaluator.n_images, args.eval_every)
-    elif args.eval_every > 0:
-        logger.warning("--eval_every is single-process only; disabled here")
+    if eval_barrier is not None:
+        # pool construction above ran Inception on process 0 (minutes of
+        # compile); hold every host here so none dispatches the first
+        # train-step collective against a busy process 0
+        eval_barrier(key="l2i_eval_pool_ready", timeout_ms=3_600_000)
     # Preemption safety (reference: none — a SIGTERM'd run loses everything
     # since its last 5-epoch save): on SIGTERM, finish the current step, save
     # a checkpoint, and exit 0.
@@ -587,12 +628,18 @@ def main(argv=None):
                                       jax.random.PRNGKey(global_step))
                     writer.write_images(global_step, "fake", jax.device_get(fakes)[:16])
                     writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
-            if evaluator is not None and global_step % args.eval_every == 0:
-                host_state = jax.device_get(state)
-                em = {k: float(v) for k, v in evaluator(host_state).items()}
-                writer.write(global_step, em)
-                logger.info("eval step %d: %s", global_step,
-                            {k: round(v, 4) for k, v in em.items()})
+            if args.eval_every > 0 and global_step % args.eval_every == 0:
+                if evaluator is not None:
+                    host_state = jax.device_get(state)
+                    em = {k: float(v) for k, v in evaluator(host_state).items()}
+                    writer.write(global_step, em)
+                    logger.info("eval step %d: %s", global_step,
+                                {k: round(v, 4) for k, v in em.items()})
+                if eval_barrier is not None:
+                    # deterministic cadence: every host (evaluating or not)
+                    # waits here, so none runs ahead while process 0 is busy
+                    eval_barrier(key=f"l2i_eval_{global_step}",
+                                 timeout_ms=3_600_000)
             if should_stop(global_step):
                 stop = True
                 break
@@ -720,6 +767,50 @@ def main_special(args):
         step_fn = jit_train_step(make_layout2im_train_step(gen, d_img, d_obj, l2i_cfg), mesh)
         prepare = lambda b: b
 
+    evaluator = None
+    if args.eval_every > 0:
+        # Same frozen-pool rel-FID/IS hook as main(), with family-appropriate
+        # samplers: these take the WHOLE batch (ours_ed needs the fg/bg-split
+        # label/box fields; layout2im builds its masks from the boxes), so
+        # PeriodicEval runs in batch_mode. Single-process by construction
+        # (main_special refuses multi-process above).
+        import itertools
+
+        from layout2img_tpu.train.eval_hook import PeriodicEval
+
+        if args.model == "ours_ed":
+            from layout2img_tpu.train.step_bgfg import make_bgfg_sample_fn
+
+            eval_sample = jax.jit(make_bgfg_sample_fn(gen, cfg))
+        else:
+            from layout2img_tpu.models.layout2im import Layout2ImGenerator
+            from layout2img_tpu.ops.bbox import bbox_mask
+
+            def _l2i_sample(g_params, g_state, batch, rng):
+                b, o = batch["labels"].shape
+                z = jax.random.truncated_normal(
+                    rng, -2.0, 2.0, (b, o, l2i_cfg.z_dim), jnp.float32)
+                masks = bbox_mask(batch["boxes"], 64, 64)
+                return gen.apply(
+                    {"params": g_params, **g_state},
+                    batch["labels"], batch["boxes"], masks, z,
+                    method=Layout2ImGenerator.sample)
+
+            eval_sample = jax.jit(_l2i_sample)
+        n_eval_batches = max(1, -(-args.eval_n // args.batch_size))
+        eval_pool = [jax.tree_util.tree_map(np.asarray, prepare(b))
+                     for b in itertools.islice(iter(loader), n_eval_batches)]
+        evaluator = PeriodicEval(eval_sample, eval_pool,
+                                 inception_weights=args.inception_weights,
+                                 batch_size=args.batch_size, seed=args.seed,
+                                 batch_mode=True)
+        if not evaluator.real_weights:
+            logger.warning(
+                "--eval_every without --inception_weights: rel_fid uses "
+                "fixed-seed random filters (relative trajectory only)")
+        logger.info("periodic eval: %d real images every %d steps",
+                    evaluator.n_images, args.eval_every)
+
     from layout2img_tpu.train.checkpoint import AsyncSaver, CheckpointManager
 
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
@@ -782,6 +873,12 @@ def main_special(args):
                             {k: round(v, 4) for k, v in m.items()})
                 writer.write(global_step, m)
                 writer.write_images(global_step, "real", jax.device_get(batch["images"])[:16])
+            if evaluator is not None and global_step % args.eval_every == 0:
+                host_state = jax.device_get(state)
+                em = {k: float(v) for k, v in evaluator(host_state).items()}
+                writer.write(global_step, em)
+                logger.info("eval step %d: %s", global_step,
+                            {k: round(v, 4) for k, v in em.items()})
             if preempted["flag"]:
                 break
         if diverged:

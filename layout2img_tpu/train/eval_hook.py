@@ -33,15 +33,21 @@ class PeriodicEval:
     Args:
       sample_fn: jitted ``(g_params, g_state, boxes, labels, rng) -> images``
         (from ``train.step.make_sample_fn``); reused from the train CLI so
-        the generator compiles once.
+        the generator compiles once. With ``batch_mode=True`` the signature
+        is ``(g_params, g_state, batch_dict, rng) -> images`` instead — the
+        shape the special-family samplers take (``step_bgfg.
+        make_bgfg_sample_fn`` needs the fg/bg-split label/box fields, the
+        layout2im sampler builds masks from the batch's boxes).
       eval_batches: list of host batches (dicts with ``images``/``labels``/
         ``boxes``) — the frozen real pool.
       inception_weights: optional torchvision inception_v3 .pth path.
       seed: PRNG seed for the frozen per-batch z draws.
+      batch_mode: pass each frozen pool batch (minus ``images``) to
+        sample_fn whole, instead of unpacking (boxes, labels).
     """
 
     def __init__(self, sample_fn, eval_batches, *, inception_weights: str = "",
-                 batch_size: int = 64, seed: int = 0):
+                 batch_size: int = 64, seed: int = 0, batch_mode: bool = False):
         from layout2img_tpu.eval.inception import (
             InceptionV3,
             load_torch_inception_v3,
@@ -65,8 +71,15 @@ class PeriodicEval:
         self._sample_fn = sample_fn
         self._batch_size = batch_size
         self._seed = seed
-        self._layouts = [(np.asarray(b["boxes"]), np.asarray(b["labels"]))
-                         for b in eval_batches]
+        self._batch_mode = batch_mode
+        if batch_mode:
+            # keep every conditioning field (fg/bg splits etc.); drop the
+            # real images — the fakes are drawn from layout + frozen z only
+            self._layouts = [{k: np.asarray(v) for k, v in b.items()
+                              if k != "images"} for b in eval_batches]
+        else:
+            self._layouts = [(np.asarray(b["boxes"]), np.asarray(b["labels"]))
+                             for b in eval_batches]
         real_feats, _ = run_inception_batches(
             _apply, self._variables,
             (np.asarray(b["images"]) for b in eval_batches), batch_size)
@@ -74,10 +87,14 @@ class PeriodicEval:
         self.n_images = len(real_feats)
 
     def _fakes(self, g_params, g_state):
-        for i, (boxes, labels) in enumerate(self._layouts):
-            yield np.asarray(self._sample_fn(
-                g_params, g_state, boxes, labels,
-                jax.random.PRNGKey(self._seed * 100003 + i)))
+        for i, layout in enumerate(self._layouts):
+            key = jax.random.PRNGKey(self._seed * 100003 + i)
+            if self._batch_mode:
+                yield np.asarray(self._sample_fn(g_params, g_state, layout, key))
+            else:
+                boxes, labels = layout
+                yield np.asarray(self._sample_fn(g_params, g_state, boxes,
+                                                 labels, key))
 
     def __call__(self, host_state) -> dict:
         from layout2img_tpu.eval.metrics import (

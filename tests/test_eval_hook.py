@@ -29,6 +29,28 @@ def test_train_eval_every_logs_rel_fid(tmp_path):
     assert all("is_mean" not in r for r in evals)
 
 
+@pytest.mark.parametrize("model,ch", [("layout2im", "8"), ("ours_ed", "4")])
+def test_train_eval_every_special_family(tmp_path, model, ch):
+    """main_special gets the same --eval_every hook (r5): PeriodicEval in
+    batch_mode with family-appropriate samplers (the ours_ed sampler needs
+    the fg/bg-split fields, layout2im builds masks from the boxes)."""
+    from layout2img_tpu.cli import train as train_cli
+
+    out = str(tmp_path / "out")
+    train_cli.main([
+        "--model", model, "--dataset", "synthetic", "--total_epoch", "1",
+        "--steps_per_epoch", "4", "--batch_size", "2", "--img_size", "64",
+        "--ch", ch, "--no_vgg", "--log_every", "10", "--out_path", out,
+        "--eval_every", "2", "--eval_n", "2", "--seed", "3",
+    ])
+    metrics = os.path.join(out, "synthetic", "64", model, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics)]
+    evals = [r for r in rows if "rel_fid" in r]
+    assert [r["step"] for r in evals] == [2, 4]
+    assert all(np.isfinite(r["rel_fid"]) and r["rel_fid"] >= 0 for r in evals)
+    assert all("is_mean" not in r for r in evals)
+
+
 def test_eval_hook_deterministic_and_ema_preference(tmp_path):
     """Same state -> identical rel_fid (frozen layouts + frozen z); the hook
     evaluates EMA params when present."""

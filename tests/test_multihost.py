@@ -44,7 +44,11 @@ def test_two_process_cpu_training(tmp_path, async_ckpt):
             "--total_epoch", "1", "--steps_per_epoch", "2", "--batch_size", "2",
             "--img_size", "64", "--ch", "4", "--no_vgg", "--log_every", "10",
             "--out_path", str(tmp_path),
-        ] + (["--async_ckpt"] if async_ckpt else [])
+            # multi-host --eval_every (VERDICT r4 #7): host-local rel-FID on
+            # process 0 against the replicated params; piggybacked on the
+            # sync variant to bound suite cost
+        ] + ([] if async_ckpt else ["--eval_every", "2", "--eval_n", "2"]) \
+          + (["--async_ckpt"] if async_ckpt else [])
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -61,6 +65,15 @@ def test_two_process_cpu_training(tmp_path, async_ckpt):
     assert "done: 2 steps" in outs[0]
     if async_ckpt:
         assert "multi-host async checkpointing" in outs[0]
+    else:
+        # the multi-host periodic eval ran on process 0 only and its rel_fid
+        # reached the metric stream
+        assert "(host-local on process 0)" in outs[0]
+        assert "eval step 2" in outs[0] and "rel_fid" in outs[0]
+        assert "rel_fid" not in outs[1]
+        metrics = (tmp_path / "synthetic" / "64" / "lostgan" /
+                   "metrics.jsonl").read_text()
+        assert "rel_fid" in metrics
     # collective checkpoint landed AND was finalized (an unfinalized async
     # save leaves only a tmp dir without the metadata file)
     ckpt_dir = tmp_path / "synthetic" / "64" / "lostgan" / "ckpt"
